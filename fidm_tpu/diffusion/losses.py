@@ -1,0 +1,129 @@
+"""Training losses for mask-aware diffusion inpainting.
+
+Functional re-design of `GaussianDiffusion.training_losses`
+(`/root/reference/code/gaussian_diffusion.py:540-614`): the masked,
+area-normalized MSE over the hole region, with optional train-time injection
+of correctly-noised known pixels into x_t. Unlike the reference (which raises
+`NotImplementedError` for KL losses at `gaussian_diffusion.py:612`), the
+hybrid MSE+VLB loss used by Improved-DDPM is implemented here natively.
+
+All functions take the model *forward output* path as a callable so the whole
+loss evaluates inside one jitted train step. Layout NHWC; mask [B,H,W,1] with
+1 = inpaint (hole), 0 = keep.
+"""
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+
+from . import gaussian as gd
+from .schedules import DiffusionSchedule
+
+__all__ = ["training_losses", "masked_mse"]
+
+
+def masked_mse(target, prediction, inpaint_mask):
+    """Area-normalized MSE over the hole region (`gaussian_diffusion.py:596-605`).
+
+    mask is broadcast to all channels; per-sample sums over space are divided
+    by the (clamped >= 1) mask area, then averaged over batch and channels.
+    """
+    mask_c = jnp.broadcast_to(inpaint_mask, target.shape)
+    mse = (target - prediction) ** 2 * mask_c
+    # sum over spatial dims (NHWC -> axes 1,2), keep batch & channel
+    mask_area = jnp.clip(mask_c.sum(axis=(1, 2), keepdims=True), a_min=1.0)
+    per = mse.sum(axis=(1, 2), keepdims=True) / mask_area
+    return per.mean()
+
+
+def training_losses(
+    sched: DiffusionSchedule,
+    model_fn: Callable,
+    x_start: jnp.ndarray,
+    t: jnp.ndarray,
+    key: jax.Array,
+    *,
+    mask: Optional[jnp.ndarray] = None,
+    masked_image: Optional[jnp.ndarray] = None,
+    loss_type: gd.LossType = gd.LossType.MSE,
+    var_type: gd.ModelVarType = gd.ModelVarType.LEARNED_RANGE,
+    mean_type: gd.ModelMeanType = gd.ModelMeanType.EPSILON,
+    use_injection: bool = True,
+    injection_schedule: str = "all",
+    vb_weight: float = 0.0,
+):
+    """Compute the inpainting training loss.
+
+    Args:
+      model_fn: callable (x_t, t, masked_image, mask) -> model output (NHWC,
+        2C channels when variance is learned).
+      x_start: clean images [B,H,W,3] in [-1,1].
+      t: int32 [B] timesteps.
+      key: PRNG key; split internally for diffusion noise and injection noise.
+      mask: [B,H,W,1], 1 = inpaint. Defaults to all-ones (whole image).
+      masked_image: [B,H,W,3] image with holes zeroed; enables injection.
+      vb_weight: if > 0, adds `vb_weight * vb_term` computed with a
+        stop-gradient on the mean channels (Improved-DDPM hybrid loss) —
+        a capability the reference lacks.
+
+    Returns:
+      dict with "loss", "mse" (and "vb" when enabled).
+    """
+    noise_key, inject_key = jax.random.split(key)
+    noise = jax.random.normal(noise_key, x_start.shape, x_start.dtype)
+
+    if mask is None:
+        mask = jnp.ones(x_start.shape[:-1] + (1,), x_start.dtype)
+
+    x_t = gd.q_sample(sched, x_start, t, noise)
+
+    # Train-time injection of known regions (gaussian_diffusion.py:570-582):
+    # overwrite keep-region of x_t with an independently-noised copy of GT.
+    if use_injection and masked_image is not None:
+        gt_keep_mask = 1.0 - mask
+        x_t = gd.apply_inpainting_injection(
+            sched, x_t, t, x_start, gt_keep_mask, inject_key,
+            injection_schedule=injection_schedule,
+        )
+
+    terms = {}
+    if loss_type in (gd.LossType.MSE, gd.LossType.RESCALED_MSE):
+        model_output = model_fn(x_t, t, masked_image, mask)
+        mean_part, var_values = gd.split_model_output(model_output, var_type)
+
+        target = {
+            gd.ModelMeanType.EPSILON: noise,
+            gd.ModelMeanType.START_X: x_start,
+        }[mean_type]
+        terms["mse"] = masked_mse(target, mean_part, mask)
+        if loss_type == gd.LossType.RESCALED_MSE:
+            terms["mse"] = terms["mse"] * sched.num_timesteps
+        terms["loss"] = terms["mse"]
+
+        if vb_weight > 0.0 and var_values is not None:
+            # Hybrid loss: learn variance through the VLB with frozen mean.
+            frozen = jnp.concatenate(
+                [jax.lax.stop_gradient(mean_part), var_values], axis=-1
+            )
+            vb, _ = gd.vb_terms_bpd(
+                sched, frozen, x_start, x_t, t,
+                mean_type=mean_type, var_type=var_type, clip_denoised=False,
+            )
+            terms["vb"] = vb.mean()
+            terms["loss"] = terms["loss"] + vb_weight * terms["vb"]
+    elif loss_type.is_vb():
+        model_output = model_fn(x_t, t, masked_image, mask)
+        vb, _ = gd.vb_terms_bpd(
+            sched, model_output, x_start, x_t, t,
+            mean_type=mean_type, var_type=var_type, clip_denoised=False,
+        )
+        terms["vb"] = vb.mean()
+        if loss_type == gd.LossType.RESCALED_KL:
+            terms["vb"] = terms["vb"] * sched.num_timesteps
+        terms["loss"] = terms["vb"]
+    else:
+        raise NotImplementedError(loss_type)
+
+    return terms

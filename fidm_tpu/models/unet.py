@@ -1,0 +1,195 @@
+"""ADM-style UNet and the 9-channel mask-aware inpainting model (Flax, NHWC).
+
+Clean-room TPU re-design of `/root/reference/code/unet.py:14-200`. The block
+topology (input stack / middle / output stack with skip concats, attention at
+configured downsample factors, resblock-based up/downsampling) matches the
+reference so that FFHQ torch checkpoints import 1:1, but the implementation is
+idiomatic JAX: NHWC layout, bf16 compute with fp32 params/norms, optional
+`jax.checkpoint` rematerialization per block, and a native 9-channel input
+conv instead of the reference's post-hoc layer surgery
+(`unet.py:176-200`) — the converter reproduces the RGB-copy + zero-init
+semantics when importing 3-channel pretrained weights.
+
+Canonical FFHQ-256 configuration (reference `train_inpainting.py:208-224`):
+model_channels=128, num_res_blocks=1, attention at ds=16,
+channel_mult=(1,1,2,2,4,4), num_heads=4, num_head_channels=64,
+use_scale_shift_norm=True, resblock_updown=True, out_channels=6 (learned
+variance).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from .layers import (
+    AttentionBlock,
+    Downsample,
+    GroupNorm32,
+    ResBlock,
+    Upsample,
+    timestep_embedding,
+)
+
+__all__ = ["UNetConfig", "UNet", "InpaintingUNet", "ffhq256_config"]
+
+
+@dataclasses.dataclass(frozen=True)
+class UNetConfig:
+    image_size: int = 256
+    in_channels: int = 9
+    model_channels: int = 128
+    out_channels: int = 6
+    num_res_blocks: int = 1
+    attention_resolutions: Tuple[int, ...] = (16,)  # downsample factors
+    dropout: float = 0.0
+    channel_mult: Tuple[int, ...] = (1, 1, 2, 2, 4, 4)
+    conv_resample: bool = True
+    num_classes: Optional[int] = None
+    num_heads: int = 4
+    num_head_channels: int = 64
+    num_heads_upsample: int = -1
+    use_scale_shift_norm: bool = True
+    resblock_updown: bool = True
+    dtype: jnp.dtype = jnp.bfloat16
+    remat: bool = False
+
+
+def ffhq256_config(**overrides) -> UNetConfig:
+    """The canonical fine-tuning architecture (`train_inpainting.py:208-224`)."""
+    return dataclasses.replace(UNetConfig(), **overrides)
+
+
+class UNet(nn.Module):
+    """The full UNet with attention and timestep embedding (`unet.py:14-173`)."""
+
+    config: UNetConfig
+
+    @nn.compact
+    def __call__(self, x, timesteps, y=None, *, deterministic: bool = True):
+        cfg = self.config
+        assert (y is not None) == (cfg.num_classes is not None)
+        dtype = cfg.dtype
+        heads_up = (
+            cfg.num_heads if cfg.num_heads_upsample == -1 else cfg.num_heads_upsample
+        )
+
+        block = nn.remat(ResBlock) if cfg.remat else ResBlock
+        attn = nn.remat(AttentionBlock) if cfg.remat else AttentionBlock
+
+        time_embed_dim = cfg.model_channels * 4
+        emb = timestep_embedding(timesteps, cfg.model_channels)
+        emb = nn.Dense(time_embed_dim, dtype=dtype, param_dtype=jnp.float32,
+                       name="time_embed_0")(emb.astype(dtype))
+        emb = nn.Dense(time_embed_dim, dtype=dtype, param_dtype=jnp.float32,
+                       name="time_embed_1")(nn.silu(emb))
+        if cfg.num_classes is not None:
+            emb = emb + nn.Embed(cfg.num_classes, time_embed_dim,
+                                 param_dtype=jnp.float32, dtype=dtype,
+                                 name="label_emb")(y)
+
+        ch = input_ch = int(cfg.channel_mult[0] * cfg.model_channels)
+        h = nn.Conv(ch, (3, 3), padding=1, dtype=dtype, param_dtype=jnp.float32,
+                    name="in_0_conv")(x.astype(dtype))
+        hs = [h]
+        input_block_chans = [ch]
+        ds = 1
+        idx = 1  # input block index (mirrors reference input_blocks list)
+
+        for level, mult in enumerate(cfg.channel_mult):
+            for _ in range(cfg.num_res_blocks):
+                ch = int(mult * cfg.model_channels)
+                h = block(out_channels=ch, dropout=cfg.dropout,
+                          use_scale_shift_norm=cfg.use_scale_shift_norm,
+                          deterministic=deterministic,
+                          dtype=dtype, name=f"in_{idx}_res")(h, emb)
+                if ds in cfg.attention_resolutions:
+                    h = attn(num_heads=cfg.num_heads,
+                             num_head_channels=cfg.num_head_channels,
+                             dtype=dtype, name=f"in_{idx}_attn")(h)
+                hs.append(h)
+                input_block_chans.append(ch)
+                idx += 1
+            if level != len(cfg.channel_mult) - 1:
+                if cfg.resblock_updown:
+                    h = block(out_channels=ch, dropout=cfg.dropout,
+                              use_scale_shift_norm=cfg.use_scale_shift_norm,
+                              deterministic=deterministic,
+                              down=True, dtype=dtype, name=f"in_{idx}_down")(h, emb)
+                else:
+                    h = Downsample(cfg.conv_resample, out_channels=ch,
+                                   dtype=dtype, name=f"in_{idx}_down")(h)
+                hs.append(h)
+                input_block_chans.append(ch)
+                ds *= 2
+                idx += 1
+
+        h = block(dropout=cfg.dropout,
+                  use_scale_shift_norm=cfg.use_scale_shift_norm,
+                  deterministic=deterministic,
+                  dtype=dtype, name="mid_res0")(h, emb)
+        h = attn(num_heads=cfg.num_heads, num_head_channels=cfg.num_head_channels,
+                 dtype=dtype, name="mid_attn")(h)
+        h = block(dropout=cfg.dropout,
+                  use_scale_shift_norm=cfg.use_scale_shift_norm,
+                  deterministic=deterministic,
+                  dtype=dtype, name="mid_res1")(h, emb)
+
+        idx = 0
+        for level, mult in list(enumerate(cfg.channel_mult))[::-1]:
+            for i in range(cfg.num_res_blocks + 1):
+                skip = hs.pop()
+                input_block_chans.pop()
+                h = jnp.concatenate([h, skip.astype(h.dtype)], axis=-1)
+                ch = int(cfg.model_channels * mult)
+                h = block(out_channels=ch, dropout=cfg.dropout,
+                          use_scale_shift_norm=cfg.use_scale_shift_norm,
+                          deterministic=deterministic,
+                          dtype=dtype, name=f"out_{idx}_res")(h, emb)
+                if ds in cfg.attention_resolutions:
+                    h = attn(num_heads=heads_up,
+                             num_head_channels=cfg.num_head_channels,
+                             dtype=dtype, name=f"out_{idx}_attn")(h)
+                if level and i == cfg.num_res_blocks:
+                    if cfg.resblock_updown:
+                        h = block(out_channels=ch, dropout=cfg.dropout,
+                                  use_scale_shift_norm=cfg.use_scale_shift_norm,
+                                  deterministic=deterministic,
+                                  up=True, dtype=dtype, name=f"out_{idx}_up")(h, emb)
+                    else:
+                        h = Upsample(cfg.conv_resample, out_channels=ch,
+                                     dtype=dtype, name=f"out_{idx}_up")(h)
+                    ds //= 2
+                idx += 1
+        assert not hs
+
+        h = GroupNorm32(dtype=dtype, name="out_norm")(h)
+        h = nn.silu(h)
+        h = nn.Conv(cfg.out_channels, (3, 3), padding=1, dtype=jnp.float32,
+                    param_dtype=jnp.float32, kernel_init=nn.initializers.zeros,
+                    name="out_conv")(h)
+        return h.astype(jnp.float32)
+
+
+class InpaintingUNet(nn.Module):
+    """Mask-aware 9-channel UNet (`unet.py:176-200`).
+
+    Forward concatenates [noisy_image(3) | masked_image(3) | mask x3] on the
+    channel axis (NHWC analogue of the concat at `unet.py:199`) and runs the
+    base UNet. The 9-channel first conv is native; importing a 3-channel
+    pretrained checkpoint copies RGB weights into channels 0-2 and zeros the
+    rest (see models/torch_import.py), matching `unet.py:184-195`.
+    """
+
+    config: UNetConfig
+
+    @nn.compact
+    def __call__(self, x, t, masked_image, mask, *, deterministic: bool = True):
+        mask3 = jnp.broadcast_to(mask, mask.shape[:-1] + (3,))
+        inp = jnp.concatenate(
+            [x, masked_image.astype(x.dtype), mask3.astype(x.dtype)], axis=-1
+        )
+        return UNet(self.config, name="base")(inp, t, deterministic=deterministic)

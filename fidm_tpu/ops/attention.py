@@ -1,0 +1,82 @@
+"""Spatial self-attention op with a Pallas-fused TPU kernel and an XLA fallback.
+
+Computes the exact attention semantics of the reference `QKVAttention`
+(`/root/reference/code/nn.py:215-235`): q and k are each pre-scaled by
+1/sqrt(sqrt(head_dim)) (so the product carries the standard 1/sqrt(d) factor
+split symmetrically), the softmax runs in float32 regardless of activation
+dtype (`nn.py:233`), and the result is cast back to the input dtype.
+
+Shapes are token-major NHWC-style: q, k, v are [B, H, S, D] (batch, heads,
+sequence, head_dim). At the reference architecture's attention sites the
+sequence is tiny (256 tokens at 16x16, 64 at 8x8), so the fused kernel keeps
+the whole S x S score matrix in VMEM in one block per (batch, head).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from .registry import use_pallas
+
+__all__ = ["qkv_attention"]
+
+
+def _attention_reference(q, k, v):
+    """XLA einsum fallback — exact reference semantics (`nn.py:222-235`)."""
+    ch = q.shape[-1]
+    scale = 1.0 / jnp.sqrt(jnp.sqrt(jnp.asarray(ch, jnp.float32))).astype(q.dtype)
+    weight = jnp.einsum("bhtd,bhsd->bhts", q * scale, k * scale)
+    weight = jax.nn.softmax(weight.astype(jnp.float32), axis=-1).astype(q.dtype)
+    return jnp.einsum("bhts,bhsd->bhtd", weight, v)
+
+
+def _attention_kernel(q_ref, k_ref, v_ref, o_ref, *, scale):
+    """Fused attention for one (batch, head): whole sequence resident in VMEM."""
+    q = q_ref[0].astype(jnp.float32) * scale
+    k = k_ref[0].astype(jnp.float32) * scale
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    # numerically-stable fp32 softmax (reference casts scores to fp32, nn.py:233)
+    s = s - jnp.max(s, axis=-1, keepdims=True)
+    p = jnp.exp(s)
+    p = p / jnp.sum(p, axis=-1, keepdims=True)
+    o = jnp.dot(p, v_ref[0].astype(jnp.float32), preferred_element_type=jnp.float32)
+    o_ref[0] = o.astype(o_ref.dtype)
+
+
+def _attention_pallas(q, k, v):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    b, h, s, d = q.shape
+    scale = float(d) ** -0.25
+    kernel = functools.partial(_attention_kernel, scale=scale)
+
+    grid = (b * h,)
+    spec = pl.BlockSpec(
+        (1, s, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+    )
+    qf = q.reshape(b * h, s, d)
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[spec, spec, spec],
+        out_specs=spec,
+        out_shape=jax.ShapeDtypeStruct((b * h, s, d), q.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * h * s * s * d,
+            bytes_accessed=4 * b * h * s * d * q.dtype.itemsize,
+            transcendentals=b * h * s * s,
+        ),
+    )(qf, k.reshape(b * h, s, d), v.reshape(b * h, s, d))
+    return out.reshape(b, h, s, d)
+
+
+def qkv_attention(q, k, v):
+    """Multi-head attention over [B, H, S, D] tensors."""
+    if use_pallas("attention") and q.shape[-1] % 128 == 0 and q.shape[-2] % 8 == 0:
+        return _attention_pallas(q, k, v)
+    return _attention_reference(q, k, v)

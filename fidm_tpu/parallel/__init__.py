@@ -1,0 +1,8 @@
+from .mesh import (
+    batch_sharding,
+    create_mesh,
+    fsdp_param_specs,
+    replicated,
+    shard_batch,
+    shard_params,
+)

@@ -1,0 +1,101 @@
+"""Device-mesh and sharding utilities.
+
+The reference is strictly single-device (SURVEY.md §2: no torch.distributed /
+NCCL anywhere; device handling is `cuda-if-available` at
+`scripts/train.py:178`). Parallelism is therefore a TPU-native *addition*:
+single-program multi-data over a `jax.sharding.Mesh`, with XLA inserting the
+gradient all-reduce / collectives over ICI.
+
+Axes:
+  - "data": batch (data-parallel) sharding for train and eval sampling.
+  - "fsdp": optional parameter sharding axis (ZeRO-style) for models too
+    large to replicate.
+"""
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+__all__ = [
+    "create_mesh",
+    "batch_sharding",
+    "replicated",
+    "fsdp_param_specs",
+    "shard_params",
+    "shard_batch",
+]
+
+
+def create_mesh(
+    data: Optional[int] = None,
+    fsdp: int = 1,
+    devices: Optional[Sequence[jax.Device]] = None,
+) -> Mesh:
+    """Create a (data[, fsdp]) mesh over the available devices.
+
+    `data=None` uses all devices on the data axis. ICI-adjacent devices stay
+    adjacent on the data axis so gradient all-reduces ride the torus links.
+    """
+    devices = list(devices if devices is not None else jax.devices())
+    n = len(devices)
+    if data is None:
+        data = n // fsdp
+    assert data * fsdp == n, f"mesh {data}x{fsdp} != {n} devices"
+    arr = np.asarray(devices).reshape(data, fsdp)
+    return Mesh(arr, ("data", "fsdp"))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Batch dim sharded over data (and fsdp, if present) axes."""
+    if "fsdp" in mesh.axis_names and mesh.shape["fsdp"] > 1:
+        return NamedSharding(mesh, P(("data", "fsdp")))
+    return NamedSharding(mesh, P("data"))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def fsdp_param_specs(params, mesh: Mesh, min_size: int = 2**18):
+    """ZeRO-3-style parameter partition specs.
+
+    Each tensor above `min_size` elements is sharded along its largest
+    axis divisible by the fsdp axis size; everything else is replicated.
+    """
+    n = mesh.shape.get("fsdp", 1)
+
+    def spec_for(x):
+        if n <= 1 or x.size < min_size:
+            return P()
+        # prefer the largest divisible axis (usually the conv IO channel)
+        order = sorted(range(x.ndim), key=lambda a: -x.shape[a])
+        for axis in order:
+            if x.shape[axis] % n == 0:
+                spec = [None] * x.ndim
+                spec[axis] = "fsdp"
+                return P(*spec)
+        return P()
+
+    return jax.tree_util.tree_map(spec_for, params)
+
+
+def shard_params(params, mesh: Mesh, use_fsdp: bool = False, min_size: int = 2**18):
+    """Place params on the mesh: replicated, or fsdp-sharded when requested."""
+    if use_fsdp:
+        specs = fsdp_param_specs(params, mesh, min_size)
+        shardings = jax.tree_util.tree_map(
+            lambda s: NamedSharding(mesh, s), specs,
+            is_leaf=lambda x: isinstance(x, P),
+        )
+        return jax.device_put(params, shardings), specs
+    return jax.device_put(params, replicated(mesh)), jax.tree_util.tree_map(
+        lambda _: P(), params
+    )
+
+
+def shard_batch(batch, mesh: Mesh):
+    """Put a host batch (pytree of arrays) onto the mesh, batch-dim sharded."""
+    return jax.device_put(batch, batch_sharding(mesh))

@@ -1,0 +1,136 @@
+"""High-level pipeline: model + schedule + sampler presets.
+
+TPU-native equivalent of the reference factory
+(`train_inpainting.py:199-262`: canonical FFHQ-256 UNet + 1000-step
+quadratic learned-sigma diffusion; `train_inpainting_ddpm.py:249-251`:
+500-step linear variant) and of the six forked eval scripts' presets
+(ddpm-1000, ddim-{30,50,100}, eta in {0.0, 0.75, 0.9} — SURVEY.md §2).
+
+One typed config replaces the reference's hard-coded hyperparameters and
+per-script argparse forks.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from .diffusion import DiffusionSchedule
+from .models import InpaintingUNet, UNetConfig, ffhq256_config
+from .sampling import SamplerConfig, inpaint_sample
+
+__all__ = [
+    "PipelineConfig",
+    "InpaintingPipeline",
+    "SAMPLER_PRESETS",
+    "create_model_and_schedule",
+]
+
+# Eval presets replacing the six forked test_*.py scripts.
+SAMPLER_PRESETS = {
+    # tes_ddpm.py: DDPM-1000 with injection
+    "ddpm-1000": SamplerConfig(method="ddpm", num_steps=None, injection=True),
+    # test_ddim_30_cos.py defaults: 30 steps, eta 0.9
+    "ddim-30": SamplerConfig(method="ddim", num_steps=30, eta=0.9, injection=True),
+    # test_inp_ddim_100.py defaults (50 steps, eta 0.75 despite the name)
+    "ddim-50-eta0.75": SamplerConfig(method="ddim", num_steps=50, eta=0.75,
+                                     injection=True),
+    "ddim-50": SamplerConfig(method="ddim", num_steps=50, eta=0.9, injection=True),
+    # test_inpainting_better.py flagship defaults: DDIM-100, eta 0.9
+    "ddim-100": SamplerConfig(method="ddim", num_steps=100, eta=0.9,
+                              injection=True),
+    "ddim-100-det": SamplerConfig(method="ddim", num_steps=100, eta=0.0,
+                                  injection=True),
+}
+
+
+@dataclasses.dataclass(frozen=True)
+class PipelineConfig:
+    unet: UNetConfig = dataclasses.field(default_factory=ffhq256_config)
+    schedule: str = "quadratic"   # train_inpainting.py:248-255
+    num_timesteps: int = 1000
+    sampler: SamplerConfig = dataclasses.field(
+        default_factory=lambda: SAMPLER_PRESETS["ddim-100"]
+    )
+
+
+def create_model_and_schedule(
+    config: Optional[PipelineConfig] = None,
+    *,
+    checkpoint: Optional[str] = None,
+    key: Optional[jax.Array] = None,
+):
+    """Build (model, variables, schedule); optionally load a torch .pt.
+
+    Mirrors `create_model_and_diffusion` (`train_inpainting.py:199-262`)
+    including the pretrained-checkpoint overlay with 3->9 channel expansion.
+    """
+    config = config or PipelineConfig()
+    model = InpaintingUNet(config.unet)
+    sched = DiffusionSchedule.create(config.schedule, config.num_timesteps)
+
+    if checkpoint is not None:
+        from .models.torch_import import load_torch_checkpoint
+
+        variables = load_torch_checkpoint(checkpoint, config.unet)
+        variables = jax.tree_util.tree_map(jnp.asarray, variables)
+    else:
+        key = key if key is not None else jax.random.PRNGKey(0)
+        c = config.unet
+        dummy = (
+            jnp.zeros((1, c.image_size, c.image_size, 3)),
+            jnp.zeros((1,), jnp.int32),
+            jnp.zeros((1, c.image_size, c.image_size, 3)),
+            jnp.zeros((1, c.image_size, c.image_size, 1)),
+        )
+        variables = model.init(key, *dummy)
+    return model, variables, sched
+
+
+class InpaintingPipeline:
+    """Bind model+params+schedule into a jit-cached inpainting callable."""
+
+    def __init__(self, model, variables, sched, config: PipelineConfig):
+        self.model = model
+        self.variables = variables
+        self.sched = sched
+        self.config = config
+        self._jitted = {}
+
+    @classmethod
+    def create(cls, config: Optional[PipelineConfig] = None,
+               checkpoint: Optional[str] = None, key=None):
+        config = config or PipelineConfig()
+        model, variables, sched = create_model_and_schedule(
+            config, checkpoint=checkpoint, key=key
+        )
+        return cls(model, variables, sched, config)
+
+    def _apply_fn(self):
+        def apply_fn(x, t, masked_image, mask):
+            return self.model.apply(self.variables, x, t, masked_image, mask)
+
+        return apply_fn
+
+    def inpaint(self, gt, mask, key, sampler: Optional[SamplerConfig] = None):
+        """Inpaint a batch: gt [B,H,W,3] in [-1,1], mask [B,H,W,1] (1=hole)."""
+        cfg = sampler or self.config.sampler
+        if mask.shape[-1] != 1 or mask.shape[:-1] != gt.shape[:-1]:
+            raise ValueError(
+                f"mask must be [B,H,W,1] matching gt spatial dims; got "
+                f"mask {mask.shape} vs gt {gt.shape}"
+            )
+        cache_key = (gt.shape, cfg)
+        if cache_key not in self._jitted:
+            def run(variables, gt, mask, key):
+                def apply_fn(x, t, mi, m):
+                    return self.model.apply(variables, x, t, mi, m)
+
+                return inpaint_sample(apply_fn, self.sched, cfg,
+                                      gt=gt, mask=mask, key=key)
+
+            self._jitted[cache_key] = jax.jit(run)
+        return self._jitted[cache_key](self.variables, jnp.asarray(gt),
+                                       jnp.asarray(mask), key)

@@ -1,0 +1,5 @@
+from .checkpoint import CheckpointManager
+from .early_stopping import EarlyStopping
+from .loop import FitConfig, fit, train_epoch, validate
+from .lr import make_lr_schedule
+from .train_state import TrainState, make_eval_step, make_optimizer, make_train_step

@@ -1,0 +1,116 @@
+"""Orbax checkpoint management: latest / best / rotating-N + resume.
+
+TPU-native equivalent of the reference `CheckpointManager`
+(`scripts/train.py:27-96`: keeps `latest_model.pt`, `best_model.pt`, and a
+rotating window of N numbered checkpoints with disk cleanup) and of
+`save_checkpoint`/`load_checkpoint` (`train_inpainting.py:134-196`: epoch,
+model, optimizer, scheduler state, val_loss, diffusion config in one file).
+
+Here a checkpoint is the full TrainState pytree (params + optimizer state +
+step) plus a JSON-serializable metadata dict (epoch, val_loss, diffusion
+config). Orbax handles atomic writes and async I/O; sharded (pjit) arrays
+restore to the same mesh layout automatically.
+"""
+from __future__ import annotations
+
+import json
+import os
+from typing import Any, Optional
+
+import jax
+import orbax.checkpoint as ocp
+
+__all__ = ["CheckpointManager"]
+
+
+class CheckpointManager:
+    """latest/best/rotating-N checkpointing over Orbax."""
+
+    def __init__(self, directory: str, keep_last_n: int = 3):
+        self.directory = os.path.abspath(directory)
+        os.makedirs(self.directory, exist_ok=True)
+        self._mgr = ocp.CheckpointManager(
+            os.path.join(self.directory, "steps"),
+            options=ocp.CheckpointManagerOptions(
+                max_to_keep=keep_last_n, create=True, enable_async_checkpointing=False
+            ),
+        )
+        self._best = ocp.StandardCheckpointer()
+        self.best_val_loss = float("inf")
+        self._load_best_marker()
+
+    # -- metadata ----------------------------------------------------------
+    def _marker_path(self):
+        return os.path.join(self.directory, "best.json")
+
+    def _load_best_marker(self):
+        try:
+            with open(self._marker_path()) as f:
+                self.best_val_loss = json.load(f)["val_loss"]
+        except (OSError, KeyError, ValueError):
+            pass
+
+    # -- save ---------------------------------------------------------------
+    def save(self, step: int, state, metadata: Optional[dict] = None,
+             val_loss: Optional[float] = None) -> bool:
+        """Save a rotating numbered checkpoint; track best by val_loss.
+
+        Returns True if this checkpoint became the new best.
+        """
+        meta = dict(metadata or {})
+        if val_loss is not None:
+            meta["val_loss"] = float(val_loss)
+        self._mgr.save(
+            step,
+            args=ocp.args.Composite(
+                state=ocp.args.StandardSave(state),
+                meta=ocp.args.JsonSave(meta),
+            ),
+        )
+        self._mgr.wait_until_finished()
+
+        is_best = val_loss is not None and val_loss < self.best_val_loss
+        if is_best:
+            self.best_val_loss = float(val_loss)
+            best_dir = os.path.join(self.directory, "best")
+            if os.path.exists(best_dir):
+                import shutil
+
+                shutil.rmtree(best_dir)
+            self._best.save(best_dir, state)
+            self._best.wait_until_finished()
+            with open(self._marker_path(), "w") as f:
+                json.dump({"val_loss": self.best_val_loss, "step": step}, f)
+        return is_best
+
+    # -- restore -------------------------------------------------------------
+    def latest_step(self) -> Optional[int]:
+        return self._mgr.latest_step()
+
+    def restore(self, which: str, abstract_state):
+        """Restore 'latest' | 'best' | a step number into abstract_state's
+        structure/shardings. Returns (state, metadata|None)."""
+        if which == "best":
+            best_dir = os.path.join(self.directory, "best")
+            state = self._best.restore(best_dir, abstract_state)
+            meta = None
+            try:
+                with open(self._marker_path()) as f:
+                    meta = json.load(f)
+            except OSError:
+                pass
+            return state, meta
+        step = self.latest_step() if which == "latest" else int(which)
+        if step is None:
+            raise FileNotFoundError(f"no checkpoints in {self.directory}")
+        restored = self._mgr.restore(
+            step,
+            args=ocp.args.Composite(
+                state=ocp.args.StandardRestore(abstract_state),
+                meta=ocp.args.JsonRestore(),
+            ),
+        )
+        return restored["state"], restored["meta"]
+
+    def close(self):
+        self._mgr.close()

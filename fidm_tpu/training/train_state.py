@@ -1,0 +1,176 @@
+"""Train state, optimizer, and the pjit-sharded train/eval steps.
+
+TPU-native replacement for the reference per-batch hot loop
+(`train_inpainting.py:15-79`): the whole
+q_sample -> inject -> UNet forward -> masked-MSE -> backward -> clip ->
+AdamW update sequence compiles into ONE XLA program, sharded over the
+device mesh (batch on the "data" axis, gradients all-reduced over ICI by
+XLA). The reference's per-step host syncs (`.to(device)` copies and
+`loss.item()`, `train_inpainting.py:30-32,68`) do not exist here.
+
+Optimizer parity: AdamW betas=(0.9, 0.999) + global-norm clip 1.0
+(`train_inpainting.py:64,377-413`).
+"""
+from __future__ import annotations
+
+from typing import Any, Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+from flax.training import train_state
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..diffusion import gaussian as gd
+from ..diffusion.losses import training_losses
+from ..diffusion.schedules import DiffusionSchedule
+from ..parallel.mesh import batch_sharding, replicated
+
+__all__ = ["TrainState", "make_optimizer", "make_train_step", "make_eval_step"]
+
+
+class TrainState(train_state.TrainState):
+    """Flax TrainState; `apply_fn` is the InpaintingUNet apply."""
+
+
+def make_optimizer(
+    lr_schedule,
+    weight_decay: float = 0.01,
+    b1: float = 0.9,
+    b2: float = 0.999,
+    grad_clip: float = 1.0,
+    param_mask: Optional[Any] = None,
+):
+    """AdamW + global-norm clipping; optional trainable-param mask (LoRA)."""
+    tx = optax.chain(
+        optax.clip_by_global_norm(grad_clip),
+        optax.adamw(lr_schedule, b1=b1, b2=b2, weight_decay=weight_decay),
+    )
+    if param_mask is not None:
+        tx = optax.masked(tx, param_mask)
+    return tx
+
+
+def _loss_for_batch(
+    params,
+    apply_fn,
+    sched: DiffusionSchedule,
+    batch,
+    key,
+    *,
+    loss_type,
+    var_type,
+    use_injection,
+    injection_schedule,
+    vb_weight,
+):
+    t_key, loss_key = jax.random.split(jax.random.fold_in(key, 0))
+    B = batch["image"].shape[0]
+    t = jax.random.randint(t_key, (B,), 0, sched.num_timesteps)
+
+    def model_fn(x_t, tt, masked_image, mask):
+        return apply_fn({"params": params}, x_t, tt, masked_image, mask)
+
+    terms = training_losses(
+        sched,
+        model_fn,
+        batch["image"],
+        t,
+        loss_key,
+        mask=batch["mask"],
+        masked_image=batch["masked_image"],
+        loss_type=loss_type,
+        var_type=var_type,
+        use_injection=use_injection,
+        injection_schedule=injection_schedule,
+        vb_weight=vb_weight,
+    )
+    return terms["loss"], terms
+
+
+def make_train_step(
+    sched: DiffusionSchedule,
+    *,
+    loss_type=gd.LossType.MSE,
+    var_type=gd.ModelVarType.LEARNED_RANGE,
+    use_injection: bool = True,
+    injection_schedule: str = "all",
+    vb_weight: float = 0.0,
+    mesh: Optional[Mesh] = None,
+    donate: bool = True,
+):
+    """Build the jitted (optionally mesh-sharded) train step.
+
+    Returns step(state, batch, key) -> (state, metrics). `batch` is a dict of
+    NHWC arrays {image, masked_image, mask}. The per-step RNG is derived from
+    (key, state.step) so a single base key drives a whole epoch
+    deterministically.
+    """
+
+    def step(state: TrainState, batch, key):
+        key = jax.random.fold_in(key, state.step)
+
+        def loss_fn(params):
+            return _loss_for_batch(
+                params, state.apply_fn, sched, batch, key,
+                loss_type=loss_type, var_type=var_type,
+                use_injection=use_injection,
+                injection_schedule=injection_schedule, vb_weight=vb_weight,
+            )
+
+        (loss, terms), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params
+        )
+        grad_norm = optax.global_norm(grads)
+        new_state = state.apply_gradients(grads=grads)
+        metrics = {
+            "loss": loss,
+            "mse": terms.get("mse", loss),
+            "grad_norm": grad_norm,
+            # fraction of pixels being inpainted (tqdm "coverage" stat,
+            # train_inpainting.py:34-38)
+            "mask_coverage": batch["mask"].mean(),
+        }
+        if "vb" in terms:
+            metrics["vb"] = terms["vb"]
+        return new_state, metrics
+
+    if mesh is None:
+        return jax.jit(step, donate_argnums=(0,) if donate else ())
+
+    # State keeps whatever placement the caller gave it (replicated, or
+    # fsdp-sharded via parallel.shard_params); only the batch is re-sharded.
+    batch_sh = {k: batch_sharding(mesh) for k in ("image", "masked_image", "mask")}
+    return jax.jit(
+        step,
+        in_shardings=(None, batch_sh, replicated(mesh)),
+        donate_argnums=(0,) if donate else (),
+    )
+
+
+def make_eval_step(
+    sched: DiffusionSchedule,
+    *,
+    loss_type=gd.LossType.MSE,
+    var_type=gd.ModelVarType.LEARNED_RANGE,
+    use_injection: bool = True,
+    injection_schedule: str = "all",
+    vb_weight: float = 0.0,
+    mesh: Optional[Mesh] = None,
+):
+    """Validation loss step (`train_inpainting.py:82-131`), jitted."""
+
+    def step(state: TrainState, batch, key):
+        loss, terms = _loss_for_batch(
+            state.params, state.apply_fn, sched, batch, key,
+            loss_type=loss_type, var_type=var_type,
+            use_injection=use_injection,
+            injection_schedule=injection_schedule, vb_weight=vb_weight,
+        )
+        return {"loss": loss, "mse": terms.get("mse", loss)}
+
+    if mesh is None:
+        return jax.jit(step)
+    batch_sh = {k: batch_sharding(mesh) for k in ("image", "masked_image", "mask")}
+    return jax.jit(step, in_shardings=(None, batch_sh, replicated(mesh)))

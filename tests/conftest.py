@@ -1,0 +1,31 @@
+"""Test configuration: run on a virtual 8-device CPU mesh.
+
+Multi-chip sharding paths are validated without TPU hardware via
+`--xla_force_host_platform_device_count=8` (the TPU-native answer to testing
+distributed code without a cluster — the reference has no such story at all,
+see SURVEY.md §4).
+"""
+import os
+
+# Force CPU for tests even when the session environment pins a TPU platform
+# (override with FIDM_TPU_TEST_BACKEND=tpu to test on hardware).
+os.environ["JAX_PLATFORMS"] = os.environ.get("FIDM_TPU_TEST_BACKEND", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+
+# This JAX build defaults to low-precision (bf16-pass) matmuls on every
+# backend; numerical parity tests need true f32.
+jax.config.update("jax_default_matmul_precision", "highest")
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(0)

@@ -1,0 +1,189 @@
+"""Tests for the scan-based DDPM/DDIM inpainting sampler.
+
+Includes a step-by-step float64 numpy re-implementation of the reference
+eval-loop algorithm (`test_inpainting_better.py:478-586`) as an oracle.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from fidm_tpu.diffusion import DiffusionSchedule, ddim_timestep_sequence
+from fidm_tpu.diffusion.schedules import get_named_beta_schedule
+from fidm_tpu.sampling import SamplerConfig, inpaint_sample, sample
+
+T = 50
+SCHED = DiffusionSchedule.create("linear", T)
+SHAPE = (2, 8, 8, 3)
+
+
+def _acp64():
+    betas = get_named_beta_schedule("linear", T)
+    return np.cumprod(1.0 - betas)
+
+
+def test_ddim_eta0_perfect_model_recovers_x0():
+    """With a model that predicts the exact eps for a fixed x0, deterministic
+    DDIM converges to that x0 from any start."""
+    x0 = jnp.clip(jax.random.normal(jax.random.PRNGKey(0), SHAPE) * 0.5, -1, 1)
+    acp = jnp.asarray(_acp64(), jnp.float32)
+
+    def apply_fn(x, t, masked_image, mask):
+        a = acp[t][:, None, None, None]
+        eps = (x - jnp.sqrt(a) * x0) / jnp.sqrt(1 - a)
+        return jnp.concatenate([eps, jnp.zeros_like(eps)], axis=-1)
+
+    cfg = SamplerConfig(method="ddim", num_steps=25, eta=0.0,
+                        injection=False, final_blend=False, clip_denoised=True)
+    out = inpaint_sample(apply_fn, SCHED, cfg, gt=x0,
+                         mask=jnp.ones(SHAPE[:-1] + (1,)),
+                         key=jax.random.PRNGKey(1))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(x0), atol=5e-3)
+
+
+def _numpy_ddim_oracle(x_init, eps_fn, K, eta=0.0, clip=True):
+    """Float64 re-implementation of the reference accelerated DDIM update."""
+    acp = _acp64()
+    seq = ddim_timestep_sequence(T, K)
+    x = np.asarray(x_init, np.float64)
+    for i, t in enumerate(seq):
+        a_t = acp[t]
+        a_prev = acp[seq[i + 1]] if i < len(seq) - 1 else 1.0
+        eps = eps_fn(x, t)
+        pred_x0 = (x - np.sqrt(1 - a_t) * eps) / np.sqrt(a_t)
+        if clip:
+            pred_x0 = np.clip(pred_x0, -1, 1)
+        sigma = eta * np.sqrt((1 - a_prev) / (1 - a_t)) * np.sqrt(1 - a_t / a_prev)
+        x = np.sqrt(a_prev) * pred_x0 + np.sqrt(1 - a_prev - sigma**2) * eps
+    return x
+
+
+def test_ddim_matches_numpy_oracle():
+    """Deterministic dummy model: jax scan output == float64 numpy loop."""
+    acp32 = jnp.asarray(_acp64(), jnp.float32)
+
+    def apply_fn(x, t, masked_image, mask):
+        eps = 0.3 * x + 0.05 * jnp.float32(1.0) * (t[:, None, None, None] / T)
+        return jnp.concatenate([eps, jnp.zeros_like(eps)], axis=-1)
+
+    def eps_fn(x, t):
+        return 0.3 * x + 0.05 * (t / T)
+
+    x_init = jax.random.normal(jax.random.PRNGKey(5), SHAPE)
+    cfg = SamplerConfig(method="ddim", num_steps=10, eta=0.0,
+                        injection=False, final_blend=False)
+    out = inpaint_sample(apply_fn, SCHED, cfg,
+                         gt=jnp.zeros(SHAPE), mask=jnp.ones(SHAPE[:-1] + (1,)),
+                         key=jax.random.PRNGKey(1), x_init=x_init)
+    oracle = _numpy_ddim_oracle(np.asarray(x_init), eps_fn, 10)
+    np.testing.assert_allclose(np.asarray(out), oracle, atol=2e-4)
+
+
+def test_final_blend_preserves_known_pixels_exactly():
+    gt = jnp.clip(jax.random.normal(jax.random.PRNGKey(3), SHAPE), -1, 1)
+    mask = jnp.zeros(SHAPE[:-1] + (1,)).at[:, 2:5, 2:5].set(1.0)
+
+    def apply_fn(x, t, masked_image, mask):
+        return jnp.concatenate([jnp.zeros_like(x)] * 2, axis=-1)
+
+    cfg = SamplerConfig(method="ddim", num_steps=5, eta=0.9, injection=True)
+    out = inpaint_sample(apply_fn, SCHED, cfg, gt=gt, mask=mask,
+                         key=jax.random.PRNGKey(4))
+    keep = np.asarray(1 - mask)[..., 0] > 0.5
+    np.testing.assert_array_equal(np.asarray(out)[keep], np.asarray(gt)[keep])
+
+
+def test_sampler_determinism_and_key_sensitivity():
+    gt = jnp.zeros(SHAPE)
+    mask = jnp.ones(SHAPE[:-1] + (1,))
+
+    def apply_fn(x, t, masked_image, mask):
+        return jnp.concatenate([0.1 * x, jnp.zeros_like(x)], axis=-1)
+
+    cfg = SamplerConfig(method="ddim", num_steps=5, eta=0.5, injection=False,
+                        final_blend=False)
+    a = inpaint_sample(apply_fn, SCHED, cfg, gt=gt, mask=mask,
+                       key=jax.random.PRNGKey(0))
+    b = inpaint_sample(apply_fn, SCHED, cfg, gt=gt, mask=mask,
+                       key=jax.random.PRNGKey(0))
+    c = inpaint_sample(apply_fn, SCHED, cfg, gt=gt, mask=mask,
+                       key=jax.random.PRNGKey(1))
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert not np.allclose(np.asarray(a), np.asarray(c))
+
+
+def test_ddpm_inpaint_runs_and_is_finite():
+    gt = jnp.clip(jax.random.normal(jax.random.PRNGKey(3), SHAPE), -1, 1)
+    mask = jnp.zeros(SHAPE[:-1] + (1,)).at[:, :4].set(1.0)
+
+    def apply_fn(x, t, masked_image, mask):
+        return jnp.concatenate([0.1 * x, jnp.zeros_like(x)], axis=-1)
+
+    cfg = SamplerConfig(method="ddpm", num_steps=None, injection=True)
+    out = inpaint_sample(apply_fn, SCHED, cfg, gt=gt, mask=mask,
+                         key=jax.random.PRNGKey(8))
+    assert out.shape == SHAPE
+    assert np.all(np.isfinite(np.asarray(out)))
+    keep = np.asarray(1 - mask)[..., 0] > 0.5
+    np.testing.assert_array_equal(np.asarray(out)[keep], np.asarray(gt)[keep])
+
+
+def test_pre_injection_library_mode():
+    """Library-style pre-model injection (gaussian_diffusion.py:368-376)."""
+    gt = jnp.clip(jax.random.normal(jax.random.PRNGKey(3), SHAPE), -1, 1)
+    mask = jnp.zeros(SHAPE[:-1] + (1,)).at[:, :4].set(1.0)
+    seen_x = []
+
+    def apply_fn(x, t, masked_image, mask):
+        seen_x.append(x)
+        return jnp.concatenate([jnp.zeros_like(x)] * 2, axis=-1)
+
+    cfg = SamplerConfig(method="ddim", num_steps=5, injection=True,
+                        injection_point="pre")
+    out = inpaint_sample(apply_fn, SCHED, cfg, gt=gt, mask=mask,
+                         key=jax.random.PRNGKey(8))
+    assert np.all(np.isfinite(np.asarray(out)))
+
+
+def test_unconditional_sample_paths():
+    def apply_fn(x, t):
+        return jnp.concatenate([0.2 * x, jnp.zeros_like(x)], axis=-1)
+
+    for method, steps in [("ddim", 5), ("ddpm", None)]:
+        cfg = SamplerConfig(method=method, num_steps=steps, injection=False)
+        out = sample(apply_fn, SCHED, cfg, shape=SHAPE, key=jax.random.PRNGKey(0))
+        assert out.shape == SHAPE and np.all(np.isfinite(np.asarray(out)))
+
+
+def test_injection_cached_noise_reproducible_across_calls():
+    """Same key -> identical injected noise at identical timesteps (the
+    reference's GT-noise-cache contract, gaussian_diffusion.py:85-108)."""
+    gt = jnp.clip(jax.random.normal(jax.random.PRNGKey(3), SHAPE), -1, 1)
+    mask = jnp.zeros(SHAPE[:-1] + (1,)).at[:, :4].set(1.0)
+
+    def apply_fn(x, t, masked_image, mask):
+        return jnp.concatenate([0.1 * x, jnp.zeros_like(x)], axis=-1)
+
+    cfg = SamplerConfig(method="ddim", num_steps=5, eta=0.0, injection=True,
+                        final_blend=False)
+    a = inpaint_sample(apply_fn, SCHED, cfg, gt=gt, mask=mask,
+                       key=jax.random.PRNGKey(0))
+    b = inpaint_sample(apply_fn, SCHED, cfg, gt=gt, mask=mask,
+                       key=jax.random.PRNGKey(0))
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_jit_compiles_whole_loop():
+    def apply_fn(x, t, masked_image, mask):
+        return jnp.concatenate([0.1 * x, jnp.zeros_like(x)], axis=-1)
+
+    cfg = SamplerConfig(method="ddim", num_steps=10, eta=0.9)
+    gt = jnp.zeros(SHAPE)
+    mask = jnp.ones(SHAPE[:-1] + (1,))
+
+    @jax.jit
+    def run(key):
+        return inpaint_sample(apply_fn, SCHED, cfg, gt=gt, mask=mask, key=key)
+
+    out = run(jax.random.PRNGKey(0))
+    assert out.shape == SHAPE

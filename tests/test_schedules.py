@@ -1,0 +1,121 @@
+"""Golden-value tests for beta schedules and derived diffusion tables.
+
+Independent float64 recomputation of the reference formulas
+(`utils/schedules.py:9-66`, `gaussian_diffusion.py:47-80`) — the device
+tables must match to float32 resolution.
+"""
+import math
+
+import numpy as np
+import pytest
+
+from fidm_tpu.diffusion import DiffusionSchedule, ddim_timestep_sequence
+from fidm_tpu.diffusion.schedules import get_named_beta_schedule
+
+
+def test_linear_schedule_endpoints():
+    betas = get_named_beta_schedule("linear", 1000)
+    assert betas.dtype == np.float64
+    assert betas[0] == pytest.approx(1e-4)
+    assert betas[-1] == pytest.approx(0.02)
+    # scale-invariance in the T->inf limit: T=500 doubles the endpoints
+    betas500 = get_named_beta_schedule("linear", 500)
+    assert betas500[0] == pytest.approx(2e-4)
+    assert betas500[-1] == pytest.approx(0.04)
+
+
+def test_cosine_schedule_golden():
+    betas = get_named_beta_schedule("cosine", 1000)
+    f = lambda t: math.cos((t + 0.008) / 1.008 * math.pi / 2) ** 2
+    for i in [0, 1, 250, 500, 998, 999]:
+        expected = min(1 - f((i + 1) / 1000) / f(i / 1000), 0.999)
+        assert betas[i] == pytest.approx(expected, rel=1e-12)
+    assert betas.max() <= 0.999
+
+
+def test_quadratic_schedule_golden():
+    T = 1000
+    betas = get_named_beta_schedule("quadratic", T)
+    t = np.linspace(0, 1, T) ** 2
+    expected = 1e-4 + (0.02 - 1e-4) * t
+    np.testing.assert_allclose(betas, expected, rtol=1e-12)
+
+
+def test_sqrt_schedules():
+    for name in ("sqrt", "sqrt_linear"):
+        betas = get_named_beta_schedule(name, 100)
+        np.testing.assert_allclose(
+            betas, np.sqrt(np.linspace(1e-4, 0.02, 100)), rtol=1e-12
+        )
+
+
+def test_unknown_schedule_raises():
+    with pytest.raises(NotImplementedError):
+        get_named_beta_schedule("nope", 10)
+
+
+@pytest.mark.parametrize("name", ["linear", "cosine", "quadratic"])
+def test_derived_tables_match_float64(name):
+    T = 200
+    betas = get_named_beta_schedule(name, T)
+    sched = DiffusionSchedule.create(name, T)
+
+    alphas = 1.0 - betas
+    acp = np.cumprod(alphas)
+    acp_prev = np.append(1.0, acp[:-1])
+    post_var = betas * (1.0 - acp_prev) / (1.0 - acp)
+
+    np.testing.assert_allclose(np.asarray(sched.betas), betas, rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(sched.alphas_cumprod), acp, rtol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(sched.sqrt_alphas_cumprod), np.sqrt(acp), rtol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(sched.sqrt_one_minus_alphas_cumprod), np.sqrt(1 - acp), rtol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(sched.posterior_variance), post_var, rtol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(sched.posterior_log_variance_clipped),
+        np.log(np.append(post_var[1], post_var[1:])),
+        rtol=1e-5,
+    )
+    np.testing.assert_allclose(
+        np.asarray(sched.posterior_mean_coef1),
+        betas * np.sqrt(acp_prev) / (1.0 - acp),
+        rtol=1e-5,
+    )
+    np.testing.assert_allclose(
+        np.asarray(sched.posterior_mean_coef2),
+        (1.0 - acp_prev) * np.sqrt(alphas) / (1.0 - acp),
+        rtol=1e-5,
+    )
+    # FIXED_LARGE table: [posterior_var[1], betas[1:]]
+    np.testing.assert_allclose(
+        np.asarray(sched.fixed_large_variance),
+        np.append(post_var[1], betas[1:]),
+        rtol=1e-6,
+    )
+    assert sched.num_timesteps == T
+
+
+def test_ddim_timestep_sequence_matches_reference_logic():
+    # reference: stride T//K from 0, append T-1 if missing, reversed
+    seq = ddim_timestep_sequence(1000, 100)
+    assert seq[0] == 999 and seq[-1] == 0
+    assert len(seq) == 101  # 0..990 step 10 plus appended 999
+    assert list(seq[1:]) == list(range(990, -1, -10))
+
+    seq50 = ddim_timestep_sequence(1000, 50)
+    assert seq50[0] == 999 and len(seq50) == 51
+    seq30 = ddim_timestep_sequence(1000, 30)
+    assert seq30[0] == 999 and seq30[-1] == 0
+    # strictly decreasing
+    for s in (seq, seq50, seq30):
+        assert all(np.diff(s) < 0)
+
+
+def test_ddim_sequence_exact_divisor_no_append():
+    seq = ddim_timestep_sequence(100, 100)
+    assert len(seq) == 100 and seq[0] == 99

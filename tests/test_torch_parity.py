@@ -1,0 +1,206 @@
+"""Numerical parity against the reference PyTorch implementation (oracle).
+
+Builds the reference torch UNet (imported from the read-only reference tree),
+converts its randomly-initialized weights with our torch_import converter,
+and checks the Flax NHWC forward matches the torch NCHW forward. This
+validates layer semantics (GroupNorm grouping, attention scaling/head split,
+scale-shift norm, up/down resblocks) AND the checkpoint converter in one shot.
+"""
+import sys
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+REF = "/root/reference/code"
+sys.path.insert(0, REF)
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+from fidm_tpu.models import InpaintingUNet, UNet, UNetConfig  # noqa: E402
+from fidm_tpu.models.torch_import import convert_state_dict  # noqa: E402
+
+pytestmark = pytest.mark.skipif(
+    not __import__("os").path.isdir(REF), reason="reference tree not mounted"
+)
+
+CFG = UNetConfig(
+    image_size=16,
+    in_channels=3,
+    model_channels=32,
+    out_channels=6,
+    num_res_blocks=1,
+    attention_resolutions=(2,),
+    channel_mult=(1, 2),
+    num_heads=2,
+    num_head_channels=16,
+    use_scale_shift_norm=True,
+    resblock_updown=True,
+    dtype=jnp.float32,
+)
+
+
+def _torch_model(cfg: UNetConfig, in_channels=None):
+    from unet import UNetModel
+
+    torch.manual_seed(0)
+    return UNetModel(
+        image_size=cfg.image_size,
+        in_channels=in_channels or cfg.in_channels,
+        model_channels=cfg.model_channels,
+        out_channels=cfg.out_channels,
+        num_res_blocks=cfg.num_res_blocks,
+        attention_resolutions=cfg.attention_resolutions,
+        channel_mult=cfg.channel_mult,
+        num_heads=cfg.num_heads,
+        num_head_channels=cfg.num_head_channels,
+        use_scale_shift_norm=cfg.use_scale_shift_norm,
+        resblock_updown=cfg.resblock_updown,
+    ).eval()
+
+
+def test_unet_forward_parity_with_torch():
+    tm = _torch_model(CFG)
+    # randomize ALL weights (zero-inits would hide conversion bugs)
+    with torch.no_grad():
+        for p in tm.parameters():
+            p.copy_(torch.randn_like(p) * 0.05)
+
+    sd = {k: v.detach().numpy() for k, v in tm.state_dict().items()}
+    params = convert_state_dict(sd, CFG)
+
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((2, 16, 16, 3), np.float32)
+    t = np.array([7, 400], np.int64)
+
+    with torch.no_grad():
+        out_t = tm(torch.from_numpy(x.transpose(0, 3, 1, 2)),
+                   torch.from_numpy(t))
+    out_t = out_t.numpy().transpose(0, 2, 3, 1)
+
+    out_f = np.asarray(UNet(CFG).apply({"params": params}, jnp.asarray(x),
+                                       jnp.asarray(t)))
+    np.testing.assert_allclose(out_f, out_t, atol=2e-4, rtol=1e-3)
+
+
+def test_inpainting_unet_parity_with_torch_wrapper():
+    """9-channel wrapper parity: reference DiffusionInpaintingModel surgery
+    (`unet.py:176-200`) vs our native 9-channel conv + converter expansion."""
+    from unet import DiffusionInpaintingModel
+
+    base = _torch_model(CFG)
+    with torch.no_grad():
+        for p in base.parameters():
+            p.copy_(torch.randn_like(p) * 0.05)
+    tm = DiffusionInpaintingModel(base, in_channels=9).eval()
+
+    cfg9 = __import__("dataclasses").replace(CFG, in_channels=9)
+    sd = {k: v.detach().numpy() for k, v in tm.state_dict().items()}
+    params = convert_state_dict(sd, cfg9)
+
+    rng = np.random.default_rng(1)
+    x = rng.standard_normal((1, 16, 16, 3), np.float32)
+    mi = rng.standard_normal((1, 16, 16, 3), np.float32)
+    mask = (rng.uniform(size=(1, 16, 16, 1)) > 0.5).astype(np.float32)
+    t = np.array([123], np.int64)
+
+    with torch.no_grad():
+        out_t = tm(
+            torch.from_numpy(x.transpose(0, 3, 1, 2)),
+            torch.from_numpy(t),
+            torch.from_numpy(mi.transpose(0, 3, 1, 2)),
+            torch.from_numpy(mask.transpose(0, 3, 1, 2)),
+        )
+    out_t = out_t.numpy().transpose(0, 2, 3, 1)
+
+    model = InpaintingUNet(cfg9)
+    out_f = np.asarray(
+        model.apply({"params": {"base": params}}, jnp.asarray(x),
+                    jnp.asarray(t), jnp.asarray(mi), jnp.asarray(mask))
+    )
+    np.testing.assert_allclose(out_f, out_t, atol=2e-4, rtol=1e-3)
+
+
+def test_converter_expands_3to9_channels():
+    tm = _torch_model(CFG)
+    with torch.no_grad():
+        for p in tm.parameters():
+            p.copy_(torch.randn_like(p) * 0.05)
+    sd = {k: v.detach().numpy() for k, v in tm.state_dict().items()}
+    cfg9 = __import__("dataclasses").replace(CFG, in_channels=9)
+    params = convert_state_dict(sd, cfg9)
+    kernel = params["in_0_conv"]["kernel"]  # HWIO
+    assert kernel.shape == (3, 3, 9, 32)
+    np.testing.assert_array_equal(np.asarray(kernel)[:, :, 3:], 0.0)
+    np.testing.assert_allclose(
+        np.asarray(kernel)[:, :, :3],
+        sd["input_blocks.0.0.weight"].transpose(2, 3, 1, 0),
+    )
+
+
+def test_diffusion_math_parity_with_torch_reference():
+    """GaussianDiffusion q/p math vs the reference class on random tensors."""
+    from gaussian_diffusion import GaussianDiffusion
+    from losses import LossType, ModelMeanType, ModelVarType
+
+    from fidm_tpu.diffusion import (
+        DiffusionSchedule,
+        p_mean_variance,
+        q_posterior_mean_variance,
+        q_sample,
+    )
+    from fidm_tpu.diffusion import gaussian as gd
+    from fidm_tpu.diffusion.schedules import get_named_beta_schedule
+
+    T = 100
+    betas = get_named_beta_schedule("quadratic", T)
+    ref = GaussianDiffusion(
+        betas=betas,
+        model_mean_type=ModelMeanType.EPSILON,
+        model_var_type=ModelVarType.LEARNED_RANGE,
+        loss_type=LossType.MSE,
+    )
+    sched = DiffusionSchedule.create("quadratic", T)
+
+    rng = np.random.default_rng(0)
+    x0 = rng.standard_normal((2, 3, 8, 8)).astype(np.float32)
+    noise = rng.standard_normal((2, 3, 8, 8)).astype(np.float32)
+    xt_ref = ref.q_sample(
+        torch.from_numpy(x0), torch.tensor([5, 50]), torch.from_numpy(noise)
+    ).numpy()
+
+    # ours is NHWC
+    nhwc = lambda a: jnp.asarray(a.transpose(0, 2, 3, 1))
+    xt = q_sample(sched, nhwc(x0), jnp.array([5, 50]), nhwc(noise))
+    np.testing.assert_allclose(
+        np.asarray(xt), xt_ref.transpose(0, 2, 3, 1), atol=1e-5
+    )
+
+    # p_mean_variance with a 6-channel output
+    model_out = rng.standard_normal((2, 6, 8, 8)).astype(np.float32) * 0.1
+    xt_t = torch.from_numpy(xt_ref)
+    ref_out = ref.p_mean_variance(
+        lambda x, t: torch.from_numpy(model_out), xt_t, torch.tensor([5, 50])
+    )
+    ours = p_mean_variance(
+        sched, nhwc(model_out), nhwc(xt_ref), jnp.array([5, 50]),
+        mean_type=gd.ModelMeanType.EPSILON,
+        var_type=gd.ModelVarType.LEARNED_RANGE,
+        clip_denoised=True,
+    )
+    np.testing.assert_allclose(
+        np.asarray(ours.mean), ref_out["mean"].numpy().transpose(0, 2, 3, 1),
+        atol=1e-4,
+    )
+    np.testing.assert_allclose(
+        np.asarray(ours.log_variance),
+        ref_out["log_variance"].numpy().transpose(0, 2, 3, 1),
+        atol=1e-4,
+    )
+    np.testing.assert_allclose(
+        np.asarray(ours.pred_xstart),
+        ref_out["pred_xstart"].numpy().transpose(0, 2, 3, 1),
+        atol=1e-4,
+    )
