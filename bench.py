@@ -18,6 +18,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+jax.config.update("jax_compilation_cache_dir", "/tmp/fidm_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+
 BASELINE_TIME_PER_SAMPLE = 3.42  # s, reference DDIM-100 (README.md:76)
 
 
@@ -42,15 +45,25 @@ def main():
     mask = mask.at[:, S // 4 : 3 * S // 4, S // 4 : 3 * S // 4].set(1.0)
 
     key = jax.random.PRNGKey(0)
+
+    # NOTE: on the tunneled TPU backend `block_until_ready()` returns
+    # immediately; a scalar device->host readback is the only reliable sync,
+    # and it keeps the transfer tiny.
+    def sync(x):
+        return float(jnp.sum(x[0, :2, :2]))
+
     # warmup / compile
-    out = pipe.inpaint(gt, mask, key)
-    out.block_until_ready()
+    sync(pipe.inpaint(gt, mask, key))
 
     t0 = time.perf_counter()
+    acc = None
     for i in range(repeats):
         out = pipe.inpaint(gt, mask, jax.random.fold_in(key, i))
-    out.block_until_ready()
+        probe = out[0, :2, :2].sum()
+        acc = probe if acc is None else acc + probe
+    sync_val = float(acc)  # forces execution of every queued iteration
     dt = time.perf_counter() - t0
+    assert np.isfinite(sync_val)
 
     time_per_sample = dt / (repeats * batch)
     imgs_per_sec = 1.0 / time_per_sample

@@ -1,0 +1,198 @@
+"""Unified evaluation/inference CLI — ONE entry point with presets.
+
+Replaces the reference's six forked eval scripts (`test_inpainting_better.py`,
+`test_inpainting_better_n.py`, `tes_ddpm.py`, `test_ddim_30_cos.py`,
+`test_inp_ddim_100.py`, `test_inp_ddim_50.py` — byte-near-identical forks
+with different defaults, SURVEY.md §2) with a single config-driven harness:
+
+    python -m fidm_tpu.cli.evaluate --data_dir ... --mask_dir ... \
+        --preset ddim-100 --num_samples 100 --checkpoint model.pt
+
+Batched device sampling, per-sample timing, per-image PNGs + comparison
+grids, SSIM/PSNR (+ proxy FID and LPIPS where weights allow), metrics.txt —
+the full behavior of `InpaintingSampler.run_sampling`
+(`test_inpainting_better.py:715-807`).
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+
+import jax
+import numpy as np
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description="Batched inpainting evaluation")
+    p.add_argument("--data_dir", required=True, help="test images directory")
+    p.add_argument("--mask_dir", required=True,
+                   help="mask root (with test/ subdir) or flat mask dir")
+    p.add_argument("--output_dir", default="inpainting_results")
+    p.add_argument("--checkpoint", default=None,
+                   help="torch .pt or orbax checkpoint dir (random init if absent)")
+    p.add_argument("--preset", default="ddim-100",
+                   help="ddpm-1000 | ddim-30 | ddim-50 | ddim-50-eta0.75 | "
+                        "ddim-100 | ddim-100-det")
+    p.add_argument("--ddim_timesteps", type=int, default=None,
+                   help="override preset step count")
+    p.add_argument("--eta", type=float, default=None, help="override preset eta")
+    p.add_argument("--schedule", default="quadratic",
+                   choices=["linear", "cosine", "quadratic", "sqrt"])
+    p.add_argument("--diffusion_steps", type=int, default=1000)
+    p.add_argument("--batch_size", type=int, default=8)
+    p.add_argument("--num_samples", type=int, default=100)
+    p.add_argument("--image_size", type=int, default=256)
+    p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--no_injection", action="store_true")
+    p.add_argument("--no_blend", action="store_true")
+    p.add_argument("--injection_schedule", default="all",
+                   choices=["all", "high", "low"])
+    p.add_argument("--quantize", default="none", choices=["none", "int8"])
+    p.add_argument("--quick_test", action="store_true",
+                   help="8 samples, 2 batches, 10 DDIM steps "
+                        "(test_inpainting_better.py:865-889)")
+    p.add_argument("--save_images", action="store_true", default=True)
+    p.add_argument("--no_save_images", dest="save_images", action="store_false")
+    p.add_argument("--lpips_alexnet", default=None,
+                   help="path to torchvision AlexNet .pth for real LPIPS")
+    p.add_argument("--lpips_lin", default=None,
+                   help="path to lpips linear-head .pt")
+    return p.parse_args(argv)
+
+
+def main(argv=None):
+    import dataclasses
+
+    from ..data import create_inference_dataloader
+    from ..metrics import LPIPS, RandomConvFeatureExtractor, fid_from_features, psnr, ssim
+    from ..models import ffhq256_config
+    from ..pipeline import SAMPLER_PRESETS, InpaintingPipeline, PipelineConfig
+    from ..utils import StepTimer, save_comparison_grid, save_png, to_uint8
+
+    args = parse_args(argv)
+    if args.quick_test:
+        args.num_samples = 8
+        args.batch_size = 4
+        args.ddim_timesteps = args.ddim_timesteps or 10
+
+    sampler = SAMPLER_PRESETS[args.preset]
+    if args.ddim_timesteps is not None and sampler.method == "ddim":
+        sampler = dataclasses.replace(sampler, num_steps=args.ddim_timesteps)
+    if args.eta is not None:
+        sampler = dataclasses.replace(sampler, eta=args.eta)
+    sampler = dataclasses.replace(
+        sampler,
+        injection=not args.no_injection,
+        injection_schedule=args.injection_schedule,
+        final_blend=not args.no_blend,
+    )
+
+    config = PipelineConfig(
+        unet=ffhq256_config(image_size=args.image_size),
+        schedule=args.schedule,
+        num_timesteps=args.diffusion_steps,
+        sampler=sampler,
+    )
+    pipe = InpaintingPipeline.create(config, checkpoint=args.checkpoint,
+                                     key=jax.random.PRNGKey(args.seed))
+    if args.quantize == "int8":
+        from ..quant import dequantize_params, quantize_params
+
+        q = quantize_params(pipe.variables["params"])
+        pipe.variables = {"params": dequantize_params(q)}
+        print("int8 weight-only quantization applied")
+
+    loader = create_inference_dataloader(
+        args.data_dir, args.mask_dir, batch_size=args.batch_size,
+        img_size=args.image_size, num_samples=args.num_samples, seed=args.seed,
+    )
+
+    os.makedirs(args.output_dir, exist_ok=True)
+    timer = StepTimer()
+    reals, fakes = [], []
+    ssims, psnrs, lpips_vals = [], [], []
+    lpips_fn = None
+    if args.lpips_alexnet and args.lpips_lin:
+        lpips_fn = LPIPS.from_torch_files(args.lpips_alexnet, args.lpips_lin)
+
+    key = jax.random.PRNGKey(args.seed)
+    n_done = 0
+    for bi, batch in enumerate(loader):
+        gt = batch["image"]
+        mask = batch["mask"]
+        if gt.shape[0] < args.batch_size:
+            # pad the trailing partial batch to keep one compiled shape
+            pad = args.batch_size - gt.shape[0]
+            gt = np.concatenate([gt, np.repeat(gt[-1:], pad, 0)])
+            mask = np.concatenate([mask, np.repeat(mask[-1:], pad, 0)])
+        else:
+            pad = 0
+        timer.start()
+        out = pipe.inpaint(gt, mask, jax.random.fold_in(key, bi))
+        timer.stop(out)
+        out = np.asarray(out)
+        if pad:
+            out, gt, mask = out[:-pad], gt[:-pad], mask[:-pad]
+
+        gt01 = (gt + 1) / 2
+        out01 = (out + 1) / 2
+        ssims.extend(np.asarray(ssim(gt01, out01)).tolist())
+        psnrs.extend(np.asarray(psnr(gt01, out01)).tolist())
+        if lpips_fn is not None:
+            lpips_vals.extend(lpips_fn(gt, out).tolist())
+        reals.append(gt01)
+        fakes.append(out01)
+
+        if args.save_images:
+            for i in range(out.shape[0]):
+                idx = n_done + i
+                save_png(to_uint8(out[i]),
+                         os.path.join(args.output_dir, "inpainted",
+                                      f"{idx:05d}.png"))
+                save_png(to_uint8(gt[i]),
+                         os.path.join(args.output_dir, "original",
+                                      f"{idx:05d}.png"))
+            grid_rows = [
+                [to_uint8(gt[i]), to_uint8(gt[i] * (1 - mask[i])),
+                 (mask[i] * 255).astype(np.uint8), to_uint8(out[i])]
+                for i in range(min(out.shape[0], 4))
+            ]
+            save_comparison_grid(
+                grid_rows,
+                os.path.join(args.output_dir, f"comparison_batch{bi:03d}.png"),
+            )
+        n_done += out.shape[0]
+        print(f"batch {bi}: {out.shape[0]} samples, "
+              f"{timer.times[-1]/args.batch_size:.3f}s/sample")
+
+    extractor = RandomConvFeatureExtractor(image_size=args.image_size)
+    fid_proxy = fid_from_features(
+        np.concatenate([extractor(r) for r in reals]),
+        np.concatenate([extractor(f) for f in fakes]),
+    )
+
+    results = {
+        "num_samples": n_done,
+        "preset": args.preset,
+        "sampler": str(sampler),
+        "ssim_mean": float(np.mean(ssims)),
+        "psnr_mean": float(np.mean(psnrs)),
+        "fid_proxy": float(fid_proxy),
+        "time_per_sample_s": timer.mean / args.batch_size,
+        "backend": jax.default_backend(),
+    }
+    if lpips_vals:
+        results["lpips_mean"] = float(np.mean(lpips_vals))
+    with open(os.path.join(args.output_dir, "metrics.txt"), "w") as f:
+        for k, v in results.items():
+            f.write(f"{k}: {v}\n")
+    with open(os.path.join(args.output_dir, "metrics.json"), "w") as f:
+        json.dump(results, f, indent=2)
+    print(json.dumps(results, indent=2))
+    return results
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,173 @@
+"""Training/fine-tuning CLI.
+
+Replaces `scripts/train.py` (argparse + CheckpointManager + epoch loop,
+`scripts/train.py:99-363`) with a pjit data-parallel pipeline: torch FFHQ
+checkpoint import, optional LoRA partition, warmup-cosine/step LR, grad
+clip, validation, Orbax latest/best/rotating checkpoints, early stopping,
+and `--resume latest|best|<step>`.
+
+    python -m fidm_tpu.cli.train --train_dir ... --val_dir ... --mask_dir ...
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description="Fine-tune the inpainting UNet")
+    p.add_argument("--train_dir", required=True)
+    p.add_argument("--val_dir", required=True)
+    p.add_argument("--mask_dir", required=True)
+    p.add_argument("--checkpoint_dir", default="checkpoints")
+    p.add_argument("--pretrained", default=None,
+                   help="torch .pt base checkpoint (FFHQ) to fine-tune from")
+    p.add_argument("--batch_size", type=int, default=4)
+    p.add_argument("--lr", type=float, default=5e-5)
+    p.add_argument("--weight_decay", type=float, default=0.01)
+    p.add_argument("--num_epochs", type=int, default=10)
+    p.add_argument("--warmup_epochs", type=int, default=0)
+    p.add_argument("--scheduler", default="cosine",
+                   choices=["cosine", "step", "none"])
+    p.add_argument("--min_lr_ratio", type=float, default=0.01)
+    p.add_argument("--grad_clip", type=float, default=1.0)
+    p.add_argument("--image_size", type=int, default=256)
+    p.add_argument("--diffusion_steps", type=int, default=1000)
+    p.add_argument("--schedule", default="quadratic",
+                   choices=["linear", "cosine", "quadratic", "sqrt"])
+    p.add_argument("--mask_mode", default="serial",
+                   choices=["serial", "random", "ordered", "procedural"])
+    p.add_argument("--no_injection", action="store_true")
+    p.add_argument("--injection_schedule", default="all",
+                   choices=["all", "high", "low"])
+    p.add_argument("--vb_weight", type=float, default=0.0,
+                   help="hybrid MSE+VLB weight (0 = pure masked MSE)")
+    p.add_argument("--early_stopping_patience", type=int, default=0)
+    p.add_argument("--keep_last_n", type=int, default=3)
+    p.add_argument("--resume", default=None, help="latest | best | <step>")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--lora_rank", type=int, default=0,
+                   help=">0 trains only LoRA factors on attention layers")
+    p.add_argument("--lora_alpha", type=float, default=16.0)
+    p.add_argument("--fsdp", type=int, default=1,
+                   help="fsdp axis size (1 = pure data parallel)")
+    return p.parse_args(argv)
+
+
+def main(argv=None):
+    from ..data import create_inpainting_dataloaders
+    from ..diffusion import DiffusionSchedule
+    from ..models import InpaintingUNet, ffhq256_config
+    from ..parallel import create_mesh, shard_params
+    from ..training import (
+        CheckpointManager,
+        FitConfig,
+        TrainState,
+        fit,
+        make_eval_step,
+        make_lr_schedule,
+        make_optimizer,
+        make_train_step,
+    )
+
+    args = parse_args(argv)
+    key = jax.random.PRNGKey(args.seed)
+
+    train_loader, val_loader = create_inpainting_dataloaders(
+        args.train_dir, args.val_dir, args.mask_dir,
+        batch_size=args.batch_size, img_size=args.image_size,
+        mask_mode=args.mask_mode, seed=args.seed,
+    )
+    steps_per_epoch = len(train_loader)
+
+    cfg = ffhq256_config(image_size=args.image_size)
+    model = InpaintingUNet(cfg)
+    sched = DiffusionSchedule.create(args.schedule, args.diffusion_steps)
+
+    if args.pretrained:
+        from ..models.torch_import import load_torch_checkpoint
+
+        variables = load_torch_checkpoint(args.pretrained, cfg)
+        variables = jax.tree_util.tree_map(jnp.asarray, variables)
+        print(f"loaded pretrained weights from {args.pretrained}")
+    else:
+        S = args.image_size
+        variables = model.init(
+            key, jnp.zeros((1, S, S, 3)), jnp.zeros((1,), jnp.int32),
+            jnp.zeros((1, S, S, 3)), jnp.zeros((1, S, S, 1)),
+        )
+
+    mesh = create_mesh(fsdp=args.fsdp)
+    print(f"mesh: {dict(mesh.shape)} over {len(jax.devices())} device(s)")
+
+    lr = make_lr_schedule(
+        args.scheduler, args.lr, args.num_epochs * steps_per_epoch,
+        args.warmup_epochs * steps_per_epoch, args.min_lr_ratio,
+    )
+    tx = make_optimizer(lr, args.weight_decay, grad_clip=args.grad_clip)
+
+    param_transform = None
+    base_params = variables["params"]
+    if args.lora_rank > 0:
+        from ..lora import init_lora, lora_param_count, merge_lora
+
+        frozen, _ = shard_params(base_params, mesh)
+        lora = init_lora(key, base_params, rank=args.lora_rank,
+                         alpha=args.lora_alpha)
+        param_transform = lambda l: merge_lora(frozen, l)
+        train_params = lora
+        print(f"LoRA: training {lora_param_count(lora):,} params "
+              f"(rank {args.lora_rank})")
+    else:
+        train_params, _ = shard_params(base_params, mesh,
+                                       use_fsdp=args.fsdp > 1)
+
+    state = TrainState.create(apply_fn=model.apply, params=train_params, tx=tx)
+
+    train_step = make_train_step(
+        sched, mesh=mesh, use_injection=not args.no_injection,
+        injection_schedule=args.injection_schedule, vb_weight=args.vb_weight,
+        param_transform=param_transform,
+    )
+    eval_step = make_eval_step(
+        sched, mesh=mesh, use_injection=not args.no_injection,
+        injection_schedule=args.injection_schedule, vb_weight=args.vb_weight,
+        param_transform=param_transform,
+    )
+
+    ckpt = CheckpointManager(args.checkpoint_dir, keep_last_n=args.keep_last_n)
+    start_epoch = 0
+    if args.resume:
+        abstract = jax.tree_util.tree_map(
+            lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), state
+        )
+        state, meta = ckpt.restore(args.resume, abstract)
+        if meta and "epoch" in meta:
+            start_epoch = int(meta["epoch"]) + 1
+        print(f"resumed from {args.resume} at epoch {start_epoch}")
+
+    meta = {
+        "schedule": args.schedule, "diffusion_steps": args.diffusion_steps,
+        "image_size": args.image_size, "lr": args.lr,
+    }
+    with mesh:
+        state, history = fit(
+            state, train_step, eval_step, train_loader, val_loader, key,
+            FitConfig(num_epochs=args.num_epochs,
+                      early_stopping_patience=args.early_stopping_patience,
+                      keep_last_n=args.keep_last_n),
+            checkpoint_manager=ckpt, mesh=mesh, start_epoch=start_epoch,
+            metadata=meta,
+        )
+    with open(os.path.join(args.checkpoint_dir, "history.json"), "w") as f:
+        json.dump(history, f, indent=2)
+    ckpt.close()
+    return history
+
+
+if __name__ == "__main__":
+    main()

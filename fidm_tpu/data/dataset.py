@@ -59,6 +59,41 @@ def load_image(path, size: int) -> np.ndarray:
     return arr * 2.0 - 1.0
 
 
+def _decode_normalize_compose(path, mask: np.ndarray, size: int):
+    """(image, masked_image) via the C++ fused normalize+compose kernel
+    (native/maskgen.cpp) when built; numpy fallback otherwise."""
+    from ..native.build import load as load_native
+
+    lib = load_native()
+    if lib is None:
+        image = load_image(path, size)
+        return image, image * (1.0 - mask)
+
+    import ctypes
+
+    from PIL import Image
+
+    u8 = np.ascontiguousarray(
+        np.asarray(
+            Image.open(path).convert("RGB").resize((size, size),
+                                                   Image.BILINEAR),
+            np.uint8,
+        )
+    )
+    m = np.ascontiguousarray(mask[..., 0], np.float32)
+    image = np.empty((size, size, 3), np.float32)
+    masked = np.empty((size, size, 3), np.float32)
+    f32p = ctypes.POINTER(ctypes.c_float)
+    lib.fidm_normalize_compose(
+        u8.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        m.ctypes.data_as(f32p),
+        image.ctypes.data_as(f32p),
+        masked.ctypes.data_as(f32p),
+        size, size,
+    )
+    return image, masked
+
+
 class InpaintingDataset:
     """Image + mask pairing with serial/random/ordered/procedural masks."""
 
@@ -71,11 +106,16 @@ class InpaintingDataset:
         mask_mode: str = "serial",  # serial | random | ordered | procedural
         seed: int = 42,
         coverage=(0.05, 0.60),
+        invert_mask: bool = True,
     ):
+        """invert_mask=True applies black=inpaint inversion
+        (`data/dataset.py:136-142`); False uses the file as-is with white=1
+        = hole — the legacy `data/dataset1.py:105-110` convention."""
         self.img_size = img_size
         self.mask_mode = mask_mode
         self.seed = seed
         self.coverage = coverage
+        self.invert_mask = invert_mask
         self.images = list_images(data_dir)
         if not self.images:
             raise ValueError(f"No images found in {data_dir}")
@@ -118,15 +158,23 @@ class InpaintingDataset:
 
     def __getitem__(self, idx: int) -> Dict:
         img_path = self.images[idx]
-        image = load_image(img_path, self.img_size)
         mask_path = self.mask_sequence[idx]
         if mask_path is None:
             rng = np.random.default_rng(self.seed * 1_000_003 + idx)
             mask = random_mask(rng, self.img_size, self.coverage)
             mask_path = f"<procedural:{idx}>"
-        else:
+        elif self.invert_mask:
             mask = load_mask(mask_path, self.img_size)
-        masked_image = image * (1.0 - mask)
+        else:
+            from PIL import Image
+
+            m = Image.open(mask_path).convert("L").resize(
+                (self.img_size, self.img_size), Image.BILINEAR
+            )
+            mask = (np.asarray(m, np.float32) / 255.0)[..., None]
+        image, masked_image = _decode_normalize_compose(
+            img_path, mask, self.img_size
+        )
         return {
             "image": image,
             "masked_image": masked_image,

@@ -75,12 +75,38 @@ def random_brush_mask(rng: np.random.Generator, size: int,
     return mask[..., None]
 
 
+def _native_mask(kind: str, size: int, seed: int,
+                 coverage: Tuple[float, float]):
+    """Rasterize via the C++ kernels (native/maskgen.cpp); None if absent."""
+    from ..native.build import load
+
+    lib = load()
+    if lib is None:
+        return None
+    import ctypes
+
+    mask = np.zeros((size, size), np.float32)
+    fn = lib.fidm_brush_mask if kind == "brush" else lib.fidm_box_mask
+    fn(mask.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), size,
+       ctypes.c_uint64(seed), coverage[0], coverage[1])
+    return mask[..., None]
+
+
 def random_mask(rng: np.random.Generator, size: int,
                 coverage: Tuple[float, float] = (0.05, 0.60),
-                kind: str = "mixed") -> np.ndarray:
-    """Procedural mask: 'box' | 'brush' | 'mixed' (random choice)."""
+                kind: str = "mixed", use_native: bool = True) -> np.ndarray:
+    """Procedural mask: 'box' | 'brush' | 'mixed' (random choice).
+
+    Uses the C++ rasterizer when built (same stroke model, own RNG stream
+    seeded from `rng`); pure-numpy otherwise.
+    """
     if kind == "mixed":
         kind = "box" if rng.uniform() < 0.5 else "brush"
+    if use_native:
+        native = _native_mask(kind, size, int(rng.integers(1, 2**63)),
+                              coverage)
+        if native is not None:
+            return native
     if kind == "box":
         return random_box_mask(rng, size, coverage)
     if kind == "brush":

@@ -1,0 +1,62 @@
+"""Build + ctypes loader for the native data-path kernels (maskgen.cpp).
+
+Compiled lazily with g++ on first use; callers fall back to the numpy
+implementations when the toolchain or .so is unavailable. Disable with
+FIDM_TPU_NATIVE=0.
+"""
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from typing import Optional
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+_SRC = os.path.join(_HERE, "maskgen.cpp")
+_LIB = os.path.join(_HERE, "libfidm_native.so")
+
+_lib: Optional[ctypes.CDLL] = None
+_tried = False
+
+
+def _build() -> bool:
+    try:
+        subprocess.run(
+            ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-o", _LIB,
+             _SRC],
+            check=True, capture_output=True, timeout=120,
+        )
+        return True
+    except (OSError, subprocess.SubprocessError):
+        return False
+
+
+def load() -> Optional[ctypes.CDLL]:
+    """The native library, building it on first call; None if unavailable."""
+    global _lib, _tried
+    if _lib is not None or _tried:
+        return _lib
+    _tried = True
+    if os.environ.get("FIDM_TPU_NATIVE", "1") in ("0", "false"):
+        return None
+    if not os.path.exists(_LIB) or (
+        os.path.getmtime(_LIB) < os.path.getmtime(_SRC)
+    ):
+        if not _build():
+            return None
+    try:
+        lib = ctypes.CDLL(_LIB)
+    except OSError:
+        return None
+    f32p = ctypes.POINTER(ctypes.c_float)
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    for name in ("fidm_brush_mask", "fidm_box_mask"):
+        fn = getattr(lib, name)
+        fn.argtypes = [f32p, ctypes.c_int, ctypes.c_uint64, ctypes.c_float,
+                       ctypes.c_float]
+        fn.restype = ctypes.c_float
+    lib.fidm_normalize_compose.argtypes = [u8p, f32p, f32p, f32p,
+                                           ctypes.c_int, ctypes.c_int]
+    lib.fidm_normalize_compose.restype = None
+    _lib = lib
+    return _lib

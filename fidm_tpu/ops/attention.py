@@ -47,7 +47,7 @@ def _attention_kernel(q_ref, k_ref, v_ref, o_ref, *, scale):
     o_ref[0] = o.astype(o_ref.dtype)
 
 
-def _attention_pallas(q, k, v):
+def _attention_pallas(q, k, v, interpret: bool = False):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -71,12 +71,13 @@ def _attention_pallas(q, k, v):
             bytes_accessed=4 * b * h * s * d * q.dtype.itemsize,
             transcendentals=b * h * s * s,
         ),
+        interpret=interpret,
     )(qf, k.reshape(b * h, s, d), v.reshape(b * h, s, d))
     return out.reshape(b, h, s, d)
 
 
 def qkv_attention(q, k, v):
     """Multi-head attention over [B, H, S, D] tensors."""
-    if use_pallas("attention") and q.shape[-1] % 128 == 0 and q.shape[-2] % 8 == 0:
+    if use_pallas("attention") and q.shape[-1] % 64 == 0 and q.shape[-2] % 8 == 0:
         return _attention_pallas(q, k, v)
     return _attention_reference(q, k, v)

@@ -90,23 +90,34 @@ def create_model_and_schedule(
 
 
 class InpaintingPipeline:
-    """Bind model+params+schedule into a jit-cached inpainting callable."""
+    """Bind model+params+schedule into a jit-cached inpainting callable.
 
-    def __init__(self, model, variables, sched, config: PipelineConfig):
+    Pass `mesh` to shard eval sampling over the batch axis of a device mesh
+    (params replicated, XLA collectives over ICI) — the multi-chip eval
+    throughput path the reference has no equivalent of.
+    """
+
+    def __init__(self, model, variables, sched, config: PipelineConfig,
+                 mesh=None):
         self.model = model
         self.variables = variables
         self.sched = sched
         self.config = config
+        self.mesh = mesh
+        if mesh is not None:
+            from .parallel import replicated
+
+            self.variables = jax.device_put(self.variables, replicated(mesh))
         self._jitted = {}
 
     @classmethod
     def create(cls, config: Optional[PipelineConfig] = None,
-               checkpoint: Optional[str] = None, key=None):
+               checkpoint: Optional[str] = None, key=None, mesh=None):
         config = config or PipelineConfig()
         model, variables, sched = create_model_and_schedule(
             config, checkpoint=checkpoint, key=key
         )
-        return cls(model, variables, sched, config)
+        return cls(model, variables, sched, config, mesh=mesh)
 
     def _apply_fn(self):
         def apply_fn(x, t, masked_image, mask):
@@ -131,6 +142,16 @@ class InpaintingPipeline:
                 return inpaint_sample(apply_fn, self.sched, cfg,
                                       gt=gt, mask=mask, key=key)
 
-            self._jitted[cache_key] = jax.jit(run)
+            if self.mesh is not None:
+                from .parallel import batch_sharding, replicated
+
+                bs = batch_sharding(self.mesh)
+                self._jitted[cache_key] = jax.jit(
+                    run,
+                    in_shardings=(None, bs, bs, replicated(self.mesh)),
+                    out_shardings=bs,
+                )
+            else:
+                self._jitted[cache_key] = jax.jit(run)
         return self._jitted[cache_key](self.variables, jnp.asarray(gt),
                                        jnp.asarray(mask), key)

@@ -99,6 +99,7 @@ def make_train_step(
     vb_weight: float = 0.0,
     mesh: Optional[Mesh] = None,
     donate: bool = True,
+    param_transform: Optional[Callable] = None,
 ):
     """Build the jitted (optionally mesh-sharded) train step.
 
@@ -106,12 +107,18 @@ def make_train_step(
     NHWC arrays {image, masked_image, mask}. The per-step RNG is derived from
     (key, state.step) so a single base key drives a whole epoch
     deterministically.
+
+    `param_transform` maps the trained pytree to the full model params before
+    apply — e.g. `lambda lora: merge_lora(base_params, lora)` for LoRA, where
+    `state.params` holds only the low-rank factors and the base stays frozen.
     """
 
     def step(state: TrainState, batch, key):
         key = jax.random.fold_in(key, state.step)
 
         def loss_fn(params):
+            if param_transform is not None:
+                params = param_transform(params)
             return _loss_for_batch(
                 params, state.apply_fn, sched, batch, key,
                 loss_type=loss_type, var_type=var_type,
@@ -158,12 +165,16 @@ def make_eval_step(
     injection_schedule: str = "all",
     vb_weight: float = 0.0,
     mesh: Optional[Mesh] = None,
+    param_transform: Optional[Callable] = None,
 ):
     """Validation loss step (`train_inpainting.py:82-131`), jitted."""
 
     def step(state: TrainState, batch, key):
+        params = state.params
+        if param_transform is not None:
+            params = param_transform(params)
         loss, terms = _loss_for_batch(
-            state.params, state.apply_fn, sched, batch, key,
+            params, state.apply_fn, sched, batch, key,
             loss_type=loss_type, var_type=var_type,
             use_injection=use_injection,
             injection_schedule=injection_schedule, vb_weight=vb_weight,

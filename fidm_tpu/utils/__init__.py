@@ -1,0 +1,2 @@
+from .image import save_comparison_grid, save_png, to_uint8
+from .profiler import StepTimer, trace

@@ -9,7 +9,8 @@ import os
 
 # Force CPU for tests even when the session environment pins a TPU platform
 # (override with FIDM_TPU_TEST_BACKEND=tpu to test on hardware).
-os.environ["JAX_PLATFORMS"] = os.environ.get("FIDM_TPU_TEST_BACKEND", "cpu")
+_backend = os.environ.get("FIDM_TPU_TEST_BACKEND", "cpu")
+os.environ["JAX_PLATFORMS"] = _backend
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -17,6 +18,10 @@ if "xla_force_host_platform_device_count" not in flags:
     ).strip()
 
 import jax  # noqa: E402
+
+# The axon sitecustomize pins the TPU platform regardless of JAX_PLATFORMS;
+# jax.config.update after import is what actually takes effect.
+jax.config.update("jax_platforms", _backend)
 
 # This JAX build defaults to low-precision (bf16-pass) matmuls on every
 # backend; numerical parity tests need true f32.

@@ -1,0 +1,128 @@
+"""Data pipeline tests: mask conventions, serial/ordered assignment,
+procedural generation, loader semantics."""
+import numpy as np
+import pytest
+from PIL import Image
+
+from fidm_tpu.data import (
+    DataLoader,
+    InpaintingDataset,
+    create_inference_dataloader,
+    create_inpainting_dataloaders,
+    load_mask,
+    mask_from_array,
+    random_mask,
+)
+
+
+@pytest.fixture(scope="module")
+def data_tree(tmp_path_factory):
+    root = tmp_path_factory.mktemp("data")
+    img_dir = root / "images"
+    mask_dir = root / "masks"
+    img_dir.mkdir()
+    for split in ("train", "val", "test"):
+        (mask_dir / split).mkdir(parents=True)
+    rng = np.random.default_rng(0)
+    for i in range(7):
+        arr = rng.integers(0, 255, (32, 32, 3), dtype=np.uint8)
+        Image.fromarray(arr).save(img_dir / f"img_{i:02d}.png")
+    # 3 masks per split: black square = inpaint region
+    for split in ("train", "val", "test"):
+        for j in range(3):
+            m = np.full((32, 32), 255, np.uint8)
+            m[4 + j : 16 + j, 4 : 16] = 0  # black = inpaint
+            Image.fromarray(m).save(mask_dir / split / f"mask_{j}.png")
+    return img_dir, mask_dir
+
+
+def test_mask_convention_black_is_inpaint(data_tree):
+    _, mask_dir = data_tree
+    m = load_mask(str(mask_dir / "train" / "mask_0.png"), 32)
+    assert m.shape == (32, 32, 1)
+    # black square -> 1 (inpaint), white -> 0 (keep)
+    assert m[10, 10, 0] == 1.0
+    assert m[0, 0, 0] == 0.0
+
+
+def test_dataset_item_contract(data_tree):
+    img_dir, mask_dir = data_tree
+    ds = InpaintingDataset(img_dir, mask_dir, "train", img_size=32)
+    item = ds[0]
+    assert set(item) == {"image", "masked_image", "mask", "image_path",
+                         "mask_path"}
+    assert item["image"].shape == (32, 32, 3)
+    assert item["mask"].shape == (32, 32, 1)
+    assert -1.0 <= item["image"].min() and item["image"].max() <= 1.0
+    # masked image zeroed exactly in the hole
+    hole = item["mask"][..., 0] > 0.5
+    np.testing.assert_array_equal(item["masked_image"][hole], 0.0)
+    np.testing.assert_array_equal(
+        item["masked_image"][~hole], item["image"][~hole]
+    )
+
+
+def test_serial_mask_sequence_repeats_in_order(data_tree):
+    img_dir, mask_dir = data_tree
+    ds = InpaintingDataset(img_dir, mask_dir, "train", img_size=32,
+                           mask_mode="serial")
+    names = [p.name for p in ds.mask_sequence]
+    assert names == ["mask_0.png", "mask_1.png", "mask_2.png"] * 2 + ["mask_0.png"]
+
+
+def test_ordered_mask_cycling(data_tree):
+    img_dir, mask_dir = data_tree
+    ds = InpaintingDataset(img_dir, mask_dir, "test", img_size=32,
+                           mask_mode="ordered")
+    names = [p.name for p in ds.mask_sequence]
+    assert names[3] == names[0] and names[4] == names[1]
+
+
+def test_procedural_masks_coverage_range():
+    rng = np.random.default_rng(0)
+    for kind in ("box", "brush"):
+        coverages = [
+            random_mask(rng, 64, coverage=(0.05, 0.60), kind=kind).mean()
+            for _ in range(10)
+        ]
+        assert all(0.01 <= c <= 0.75 for c in coverages), (kind, coverages)
+        assert np.std(coverages) > 0.01  # actually varied
+
+
+def test_procedural_dataset_deterministic(data_tree):
+    img_dir, _ = data_tree
+    ds = InpaintingDataset(img_dir, None, img_size=32, mask_mode="procedural",
+                           seed=7)
+    a, b = ds[2], ds[2]
+    np.testing.assert_array_equal(a["mask"], b["mask"])
+    assert not np.array_equal(ds[2]["mask"], ds[3]["mask"])
+
+
+def test_dataloader_batching_and_drop_last(data_tree):
+    img_dir, mask_dir = data_tree
+    ds = InpaintingDataset(img_dir, mask_dir, "train", img_size=32)
+    dl = DataLoader(ds, batch_size=3, shuffle=True, drop_last=True, seed=1)
+    batches = list(dl)
+    assert len(batches) == 2  # 7 images -> 2 full batches of 3
+    assert batches[0]["image"].shape == (3, 32, 32, 3)
+    # shuffling differs between epochs
+    b2 = list(dl)
+    assert batches[0]["image_path"] != b2[0]["image_path"]
+
+
+def test_factory_functions(data_tree):
+    img_dir, mask_dir = data_tree
+    train, val = create_inpainting_dataloaders(
+        img_dir, img_dir, mask_dir, batch_size=2, img_size=32
+    )
+    assert len(train) == 3  # drop_last: 7//2
+    infer = create_inference_dataloader(img_dir, mask_dir, batch_size=2,
+                                        img_size=32, num_samples=4)
+    total = sum(b["image"].shape[0] for b in infer)
+    assert total == 4
+
+
+def test_mask_from_array_threshold():
+    gray = np.array([[0.0, 0.4], [0.6, 1.0]], np.float32)
+    m = mask_from_array(gray)
+    np.testing.assert_array_equal(m[..., 0], [[1, 1], [0, 0]])

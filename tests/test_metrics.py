@@ -1,0 +1,117 @@
+"""Metrics tests: SSIM vs independent float64 numpy, FID math, LPIPS shape."""
+import numpy as np
+import pytest
+
+from fidm_tpu.metrics import (
+    LPIPS,
+    RandomConvFeatureExtractor,
+    compute_statistics,
+    fid_from_features,
+    frechet_distance,
+    psnr,
+    ssim,
+)
+
+
+def _numpy_ssim(img1, img2, win=11, data_range=1.0):
+    """Independent float64 SSIM (uniform window, skimage semantics)."""
+    from scipy.ndimage import uniform_filter
+
+    K1, K2 = 0.01, 0.03
+    C1, C2 = (K1 * data_range) ** 2, (K2 * data_range) ** 2
+    NP = win * win
+    cov_norm = NP / (NP - 1)
+    pad = (win - 1) // 2
+    vals = []
+    for c in range(img1.shape[-1]):
+        x = img1[..., c].astype(np.float64)
+        y = img2[..., c].astype(np.float64)
+        ux = uniform_filter(x, win)
+        uy = uniform_filter(y, win)
+        uxx = uniform_filter(x * x, win)
+        uyy = uniform_filter(y * y, win)
+        uxy = uniform_filter(x * y, win)
+        vx = cov_norm * (uxx - ux * ux)
+        vy = cov_norm * (uyy - uy * uy)
+        vxy = cov_norm * (uxy - ux * uy)
+        s = ((2 * ux * uy + C1) * (2 * vxy + C2)) / (
+            (ux**2 + uy**2 + C1) * (vx + vy + C2)
+        )
+        vals.append(s[pad:-pad, pad:-pad].mean())
+    return np.mean(vals)
+
+
+def test_ssim_matches_numpy_reference():
+    rng = np.random.default_rng(0)
+    a = rng.uniform(0, 1, (2, 32, 32, 3)).astype(np.float32)
+    b = np.clip(a + rng.normal(0, 0.1, a.shape), 0, 1).astype(np.float32)
+    ours = np.asarray(ssim(a, b))
+    for i in range(2):
+        expected = _numpy_ssim(a[i], b[i])
+        assert ours[i] == pytest.approx(expected, abs=2e-4)
+
+
+def test_ssim_identical_is_one():
+    rng = np.random.default_rng(1)
+    a = rng.uniform(0, 1, (1, 24, 24, 3)).astype(np.float32)
+    assert float(np.asarray(ssim(a, a))[0]) == pytest.approx(1.0, abs=1e-5)
+
+
+def test_ssim_monotone_in_noise():
+    rng = np.random.default_rng(2)
+    a = rng.uniform(0, 1, (1, 32, 32, 3)).astype(np.float32)
+    vals = []
+    for sigma in (0.02, 0.1, 0.3):
+        b = np.clip(a + rng.normal(0, sigma, a.shape), 0, 1).astype(np.float32)
+        vals.append(float(np.asarray(ssim(a, b))[0]))
+    assert vals[0] > vals[1] > vals[2]
+
+
+def test_psnr_known_value():
+    a = np.zeros((1, 8, 8, 3), np.float32)
+    b = np.full((1, 8, 8, 3), 0.1, np.float32)
+    # mse = 0.01 -> psnr = 20
+    assert float(np.asarray(psnr(a, b))[0]) == pytest.approx(20.0, abs=1e-3)
+
+
+def test_frechet_distance_identities():
+    rng = np.random.default_rng(0)
+    f = rng.standard_normal((500, 16))
+    mu, sigma = compute_statistics(f)
+    assert frechet_distance(mu, sigma, mu, sigma) == pytest.approx(0.0, abs=1e-6)
+    # mean shift by d adds d^2 * dim... actually ||diff||^2
+    mu2 = mu + 1.0
+    d = frechet_distance(mu, sigma, mu2, sigma)
+    assert d == pytest.approx(16.0, rel=1e-6)
+
+
+def test_fid_separates_distributions():
+    rng = np.random.default_rng(0)
+    real1 = rng.standard_normal((400, 32))
+    real2 = rng.standard_normal((400, 32))
+    fake = rng.standard_normal((400, 32)) * 2.0 + 1.0
+    near = fid_from_features(real1, real2)
+    far = fid_from_features(real1, fake)
+    assert far > near * 5
+
+
+def test_random_feature_extractor_deterministic():
+    rng = np.random.default_rng(0)
+    imgs = rng.uniform(0, 1, (4, 32, 32, 3)).astype(np.float32)
+    e1 = RandomConvFeatureExtractor(seed=0)(imgs)
+    e2 = RandomConvFeatureExtractor(seed=0)(imgs)
+    np.testing.assert_array_equal(e1, e2)
+    assert e1.shape == (4, 256)
+
+
+def test_lpips_proxy_properties():
+    lp = LPIPS()  # proxy weights
+    assert lp.is_proxy
+    rng = np.random.default_rng(0)
+    a = rng.uniform(-1, 1, (2, 64, 64, 3)).astype(np.float32)
+    b = np.clip(a + rng.normal(0, 0.2, a.shape), -1, 1).astype(np.float32)
+    d_same = lp(a, a)
+    d_diff = lp(a, b)
+    assert d_same.shape == (2,)
+    np.testing.assert_allclose(d_same, 0.0, atol=1e-6)
+    assert (d_diff > 1e-4).all()

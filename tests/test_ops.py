@@ -1,0 +1,64 @@
+"""Pallas kernel correctness (interpreter mode on CPU) vs XLA fallbacks."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from fidm_tpu.ops.attention import (
+    _attention_pallas,
+    _attention_reference,
+    qkv_attention,
+)
+from fidm_tpu.ops.registry import set_use_pallas, use_pallas
+
+
+def test_attention_reference_matches_naive():
+    """The fallback reproduces the exact reference semantics: dual
+    1/sqrt(sqrt(d)) scaling + fp32 softmax (nn.py:222-235)."""
+    key = jax.random.PRNGKey(0)
+    q, k, v = jax.random.normal(key, (3, 2, 2, 16, 8))
+    out = _attention_reference(q, k, v)
+    # naive float64 computation
+    qn, kn, vn = (np.asarray(a, np.float64) for a in (q, k, v))
+    scale = 1.0 / np.sqrt(np.sqrt(8))
+    w = np.einsum("bhtd,bhsd->bhts", qn * scale, kn * scale)
+    w = np.exp(w - w.max(-1, keepdims=True))
+    w /= w.sum(-1, keepdims=True)
+    expected = np.einsum("bhts,bhsd->bhtd", w, vn)
+    np.testing.assert_allclose(np.asarray(out), expected, atol=1e-5)
+
+
+def test_attention_pallas_interpret_matches_fallback():
+    key = jax.random.PRNGKey(1)
+    q, k, v = jax.random.normal(key, (3, 2, 4, 64, 64), jnp.float32)
+    ref = _attention_reference(q, k, v)
+    pal = _attention_pallas(q, k, v, interpret=True)
+    np.testing.assert_allclose(np.asarray(pal), np.asarray(ref), atol=1e-5)
+
+
+def test_attention_pallas_interpret_bf16():
+    key = jax.random.PRNGKey(2)
+    q, k, v = jax.random.normal(key, (3, 1, 2, 64, 64)).astype(jnp.bfloat16)
+    ref = _attention_reference(q, k, v)
+    pal = _attention_pallas(q, k, v, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(pal, np.float32), np.asarray(ref, np.float32), atol=2e-2
+    )
+
+
+def test_registry_override():
+    set_use_pallas(False)
+    assert not use_pallas("attention")
+    set_use_pallas(True, op="attention")
+    assert use_pallas("attention")
+    set_use_pallas(None, op="attention")
+    set_use_pallas(None)
+    # default on CPU: off
+    if jax.default_backend() == "cpu":
+        assert not use_pallas("attention")
+
+
+def test_qkv_attention_dispatch_cpu_uses_fallback():
+    q = jax.random.normal(jax.random.PRNGKey(0), (1, 2, 8, 64))
+    out = qkv_attention(q, q, q)
+    assert out.shape == q.shape

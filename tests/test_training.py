@@ -1,0 +1,156 @@
+"""Training stack tests: optimizer step, checkpoints, early stopping, LR,
+and a tiny end-to-end train-then-sample smoke test."""
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+from fidm_tpu.diffusion import DiffusionSchedule
+from fidm_tpu.models import InpaintingUNet, UNetConfig
+from fidm_tpu.training import (
+    CheckpointManager,
+    EarlyStopping,
+    TrainState,
+    make_eval_step,
+    make_lr_schedule,
+    make_optimizer,
+    make_train_step,
+)
+
+CFG = UNetConfig(
+    image_size=8, in_channels=9, model_channels=32, out_channels=6,
+    num_res_blocks=1, attention_resolutions=(2,), channel_mult=(1, 2),
+    num_heads=1, num_head_channels=32, dtype=jnp.float32,
+)
+SCHED = DiffusionSchedule.create("linear", 20)
+
+
+def _make_state(lr=1e-3):
+    model = InpaintingUNet(CFG)
+    S = CFG.image_size
+    variables = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, S, S, 3)),
+        jnp.zeros((1,), jnp.int32), jnp.zeros((1, S, S, 3)),
+        jnp.ones((1, S, S, 1)),
+    )
+    tx = make_optimizer(optax.constant_schedule(lr))
+    return model, TrainState.create(
+        apply_fn=model.apply, params=variables["params"], tx=tx
+    )
+
+
+def _batch(key, B=2):
+    S = CFG.image_size
+    img = jax.random.normal(key, (B, S, S, 3)) * 0.5
+    mask = jnp.zeros((B, S, S, 1)).at[:, : S // 2].set(1.0)
+    return {"image": img, "masked_image": img * (1 - mask), "mask": mask}
+
+
+def test_train_step_decreases_loss():
+    _, state = _make_state(1e-3)
+    step = make_train_step(SCHED, donate=False)
+    batch = _batch(jax.random.PRNGKey(1))
+    losses = []
+    for i in range(8):
+        state, metrics = step(state, batch, jax.random.PRNGKey(42))
+        losses.append(float(metrics["loss"]))
+    assert losses[-1] < losses[0]
+    assert int(state.step) == 8
+    assert np.isfinite(losses).all()
+
+
+def test_train_metrics_contract():
+    _, state = _make_state()
+    step = make_train_step(SCHED, donate=False)
+    _, metrics = step(state, _batch(jax.random.PRNGKey(1)), jax.random.PRNGKey(0))
+    assert {"loss", "mse", "grad_norm", "mask_coverage"} <= set(metrics)
+    assert 0.0 < float(metrics["mask_coverage"]) < 1.0
+
+
+def test_eval_step_deterministic():
+    _, state = _make_state()
+    ev = make_eval_step(SCHED)
+    batch = _batch(jax.random.PRNGKey(1))
+    a = float(ev(state, batch, jax.random.PRNGKey(7))["loss"])
+    b = float(ev(state, batch, jax.random.PRNGKey(7))["loss"])
+    assert a == b
+
+
+def test_checkpoint_roundtrip_and_rotation(tmp_path):
+    _, state = _make_state()
+    mgr = CheckpointManager(str(tmp_path / "ckpt"), keep_last_n=2)
+    step = make_train_step(SCHED, donate=False)
+    batch = _batch(jax.random.PRNGKey(1))
+    val_losses = [0.5, 0.3, 0.4, 0.2]
+    for i, vl in enumerate(val_losses):
+        state, _ = step(state, batch, jax.random.PRNGKey(0))
+        is_best = mgr.save(i, state, metadata={"epoch": i}, val_loss=vl)
+        assert is_best == (vl == min(val_losses[: i + 1]))
+    # rotation keeps only last 2 numbered steps
+    assert mgr.latest_step() == 3
+    abstract = jax.tree_util.tree_map(
+        lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), state
+    )
+    restored, meta = mgr.restore("latest", abstract)
+    assert meta["epoch"] == 3
+    for a, b in zip(jax.tree_util.tree_leaves(restored.params),
+                    jax.tree_util.tree_leaves(state.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # best corresponds to val_loss 0.2 (step 3 too) — restore works
+    best, best_meta = mgr.restore("best", abstract)
+    assert best is not None
+    mgr.close()
+
+
+def test_early_stopping_restores_best():
+    es = EarlyStopping(patience=2, restore_best_weights=True)
+    p1, p2 = {"w": jnp.ones(2)}, {"w": jnp.zeros(2)}
+    stop, _ = es.update(1.0, p1)
+    assert not stop
+    stop, _ = es.update(1.5, p2)
+    assert not stop
+    stop, best = es.update(1.4, p2)
+    assert stop
+    np.testing.assert_array_equal(np.asarray(best["w"]), 1.0)
+
+
+def test_lr_schedules():
+    cos = make_lr_schedule("cosine", 1e-3, total_steps=100, warmup_steps=10)
+    assert float(cos(0)) == pytest.approx(0.0)
+    assert float(cos(10)) == pytest.approx(1e-3, rel=1e-3)
+    assert float(cos(100)) == pytest.approx(1e-5, rel=0.2)
+    step = make_lr_schedule("step", 1e-3, total_steps=90)
+    assert float(step(0)) == pytest.approx(1e-3)
+    assert float(step(40)) == pytest.approx(5e-4)
+    assert float(step(70)) == pytest.approx(2.5e-4)
+    none = make_lr_schedule("none", 1e-3, total_steps=10)
+    assert float(none(5)) == pytest.approx(1e-3)
+
+
+def test_train_then_sample_smoke():
+    """SURVEY §4: tiny end-to-end train-then-sample closed loop."""
+    from fidm_tpu.sampling import SamplerConfig, inpaint_sample
+
+    model, state = _make_state(1e-3)
+    step = make_train_step(SCHED, donate=False)
+    batch = _batch(jax.random.PRNGKey(1))
+    for i in range(3):
+        state, _ = step(state, batch, jax.random.PRNGKey(0))
+
+    def apply_fn(x, t, mi, m):
+        return model.apply({"params": state.params}, x, t, mi, m)
+
+    out = inpaint_sample(
+        apply_fn, SCHED,
+        SamplerConfig(method="ddim", num_steps=5, eta=0.0, injection=True),
+        gt=batch["image"], mask=batch["mask"], key=jax.random.PRNGKey(9),
+    )
+    assert out.shape == batch["image"].shape
+    assert np.all(np.isfinite(np.asarray(out)))
+    keep = np.asarray(1 - batch["mask"])[..., 0] > 0.5
+    np.testing.assert_array_equal(
+        np.asarray(out)[keep], np.asarray(batch["image"])[keep]
+    )
