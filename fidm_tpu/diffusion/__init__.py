@@ -10,6 +10,8 @@ from .gaussian import (
     ModelVarType,
     PMeanVariance,
     apply_inpainting_injection,
+    condition_mean,
+    condition_score,
     extract,
     mean_flat,
     noised_ground_truth,

@@ -236,6 +236,40 @@ def p_mean_variance(
 
 
 # --------------------------------------------------------------------------
+# classifier guidance
+# --------------------------------------------------------------------------
+
+def condition_mean(pmv: "PMeanVariance", gradient: jnp.ndarray) -> "PMeanVariance":
+    """Shift the posterior mean by variance * grad(log p(y|x)).
+
+    Functional version of `gaussian_diffusion.py:326-337`; the caller
+    computes `gradient = grad(log p(y|x_t))` (e.g. via a classifier).
+    """
+    return pmv._replace(mean=pmv.mean + pmv.variance * gradient)
+
+
+def condition_score(
+    sched: DiffusionSchedule,
+    pmv: "PMeanVariance",
+    x: jnp.ndarray,
+    t: jnp.ndarray,
+    gradient: jnp.ndarray,
+) -> "PMeanVariance":
+    """Condition the score function by a classifier gradient.
+
+    Functional version of `gaussian_diffusion.py:339-355`: adjust eps by
+    -sqrt(1-alpha_bar) * grad, re-derive x0 and the posterior mean.
+    """
+    nd = x.ndim
+    alpha_bar = extract(sched.alphas_cumprod, t, nd)
+    eps = predict_eps_from_xstart(sched, x, t, pmv.pred_xstart)
+    eps = eps - jnp.sqrt(1.0 - alpha_bar) * gradient
+    pred_xstart = predict_xstart_from_eps(sched, x, t, eps)
+    mean, _, _ = q_posterior_mean_variance(sched, pred_xstart, x, t)
+    return pmv._replace(mean=mean, pred_xstart=pred_xstart)
+
+
+# --------------------------------------------------------------------------
 # inpainting injection
 # --------------------------------------------------------------------------
 
