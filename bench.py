@@ -28,7 +28,7 @@ def main():
     from fidm_tpu.pipeline import InpaintingPipeline, PipelineConfig, SAMPLER_PRESETS
     from fidm_tpu.sampling import SamplerConfig
 
-    batch = int(os.environ.get("FIDM_BENCH_BATCH", "8"))
+    batch = int(os.environ.get("FIDM_BENCH_BATCH", "16"))
     repeats = int(os.environ.get("FIDM_BENCH_REPEATS", "3"))
     steps = int(os.environ.get("FIDM_BENCH_STEPS", "100"))
 

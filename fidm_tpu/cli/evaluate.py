@@ -44,6 +44,13 @@ def parse_args(argv=None):
     p.add_argument("--batch_size", type=int, default=8)
     p.add_argument("--num_samples", type=int, default=100)
     p.add_argument("--image_size", type=int, default=256)
+    p.add_argument("--model_channels", type=int, default=128)
+    p.add_argument("--channel_mult", type=int, nargs="+",
+                   default=[1, 1, 2, 2, 4, 4])
+    p.add_argument("--num_heads", type=int, default=4)
+    p.add_argument("--num_head_channels", type=int, default=64)
+    p.add_argument("--attention_resolutions", type=int, nargs="+",
+                   default=[16])
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--no_injection", action="store_true")
     p.add_argument("--no_blend", action="store_true")
@@ -90,13 +97,40 @@ def main(argv=None):
     )
 
     config = PipelineConfig(
-        unet=ffhq256_config(image_size=args.image_size),
+        unet=ffhq256_config(
+            image_size=args.image_size,
+            model_channels=args.model_channels,
+            channel_mult=tuple(args.channel_mult),
+            num_heads=args.num_heads,
+            num_head_channels=args.num_head_channels,
+            attention_resolutions=tuple(args.attention_resolutions),
+        ),
         schedule=args.schedule,
         num_timesteps=args.diffusion_steps,
         sampler=sampler,
     )
-    pipe = InpaintingPipeline.create(config, checkpoint=args.checkpoint,
-                                     key=jax.random.PRNGKey(args.seed))
+    ckpt = args.checkpoint
+    if ckpt and os.path.isdir(ckpt):
+        # Orbax checkpoint dir written by training.CheckpointManager
+        from ..training import CheckpointManager
+
+        pipe = InpaintingPipeline.create(config,
+                                         key=jax.random.PRNGKey(args.seed))
+        params = CheckpointManager(ckpt).restore_params("best" if os.path.isdir(
+            os.path.join(ckpt, "best")) else "latest")
+        pipe.variables = {"params": params}
+        print(f"loaded orbax params from {ckpt}")
+    elif ckpt and ckpt.endswith(".npz"):
+        from ..quant import dequantize_params
+        from .quantize import load_quantized
+
+        pipe = InpaintingPipeline.create(config,
+                                         key=jax.random.PRNGKey(args.seed))
+        pipe.variables = {"params": dequantize_params(load_quantized(ckpt))}
+        print(f"loaded int8-quantized params from {ckpt}")
+    else:
+        pipe = InpaintingPipeline.create(config, checkpoint=ckpt,
+                                         key=jax.random.PRNGKey(args.seed))
     if args.quantize == "int8":
         from ..quant import dequantize_params, quantize_params
 

@@ -36,6 +36,13 @@ def parse_args(argv=None):
     p.add_argument("--min_lr_ratio", type=float, default=0.01)
     p.add_argument("--grad_clip", type=float, default=1.0)
     p.add_argument("--image_size", type=int, default=256)
+    p.add_argument("--model_channels", type=int, default=128)
+    p.add_argument("--channel_mult", type=int, nargs="+",
+                   default=[1, 1, 2, 2, 4, 4])
+    p.add_argument("--num_heads", type=int, default=4)
+    p.add_argument("--num_head_channels", type=int, default=64)
+    p.add_argument("--attention_resolutions", type=int, nargs="+",
+                   default=[16])
     p.add_argument("--diffusion_steps", type=int, default=1000)
     p.add_argument("--schedule", default="quadratic",
                    choices=["linear", "cosine", "quadratic", "sqrt"])
@@ -62,7 +69,7 @@ def main(argv=None):
     from ..data import create_inpainting_dataloaders
     from ..diffusion import DiffusionSchedule
     from ..models import InpaintingUNet, ffhq256_config
-    from ..parallel import create_mesh, shard_params
+    from ..parallel import auto_mesh, shard_params
     from ..training import (
         CheckpointManager,
         FitConfig,
@@ -84,7 +91,14 @@ def main(argv=None):
     )
     steps_per_epoch = len(train_loader)
 
-    cfg = ffhq256_config(image_size=args.image_size)
+    cfg = ffhq256_config(
+        image_size=args.image_size,
+        model_channels=args.model_channels,
+        channel_mult=tuple(args.channel_mult),
+        num_heads=args.num_heads,
+        num_head_channels=args.num_head_channels,
+        attention_resolutions=tuple(args.attention_resolutions),
+    )
     model = InpaintingUNet(cfg)
     sched = DiffusionSchedule.create(args.schedule, args.diffusion_steps)
 
@@ -101,7 +115,7 @@ def main(argv=None):
             jnp.zeros((1, S, S, 3)), jnp.zeros((1, S, S, 1)),
         )
 
-    mesh = create_mesh(fsdp=args.fsdp)
+    mesh = auto_mesh(args.batch_size, fsdp=args.fsdp)
     print(f"mesh: {dict(mesh.shape)} over {len(jax.devices())} device(s)")
 
     lr = make_lr_schedule(

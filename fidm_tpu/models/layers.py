@@ -53,15 +53,21 @@ def timestep_embedding(timesteps: jnp.ndarray, dim: int, max_period: int = 10000
 
 
 class GroupNorm32(nn.Module):
-    """GroupNorm(32) computed in float32, cast back to the activation dtype."""
+    """GroupNorm(32): float32 statistics, activations stay in compute dtype.
+
+    `force_float32_reductions` keeps the mean/variance reductions in f32
+    without materializing an f32 copy of the (large, bf16) activation — on
+    TPU this halves the GN memory traffic vs an explicit upcast.
+    """
 
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x):
-        y = nn.GroupNorm(num_groups=32, epsilon=1e-5, dtype=jnp.float32,
-                         param_dtype=jnp.float32)(x.astype(jnp.float32))
-        return y.astype(self.dtype)
+        return nn.GroupNorm(
+            num_groups=32, epsilon=1e-5, dtype=self.dtype,
+            param_dtype=jnp.float32, force_float32_reductions=True,
+        )(x)
 
 
 class Upsample(nn.Module):

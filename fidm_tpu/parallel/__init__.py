@@ -1,4 +1,5 @@
 from .mesh import (
+    auto_mesh,
     batch_sharding,
     create_mesh,
     fsdp_param_specs,

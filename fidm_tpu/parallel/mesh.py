@@ -48,6 +48,19 @@ def create_mesh(
     return Mesh(arr, ("data", "fsdp"))
 
 
+def auto_mesh(batch_size: int, fsdp: int = 1,
+              devices: Optional[Sequence[jax.Device]] = None) -> Mesh:
+    """Mesh whose data axis is the largest device count dividing batch_size.
+
+    Avoids sharding errors for small batches (e.g. batch 2 on 8 devices
+    uses only 2 devices on the data axis)."""
+    devices = list(devices if devices is not None else jax.devices())
+    avail = len(devices) // fsdp
+    data = max(d for d in range(1, avail + 1) if batch_size % d == 0)
+    return create_mesh(data=data, fsdp=fsdp,
+                       devices=devices[: data * fsdp])
+
+
 def batch_sharding(mesh: Mesh) -> NamedSharding:
     """Batch dim sharded over data (and fsdp, if present) axes."""
     if "fsdp" in mesh.axis_names and mesh.shape["fsdp"] > 1:

@@ -112,5 +112,22 @@ class CheckpointManager:
         )
         return restored["state"], restored["meta"]
 
+    def restore_params(self, which: str = "latest"):
+        """Restore only the model params pytree (for evaluation), without
+        needing the optimizer/TrainState structure."""
+        if which == "best":
+            import os as _os
+
+            state = self._best.restore(os.path.join(self.directory, "best"))
+            return state["params"]
+        step = self.latest_step() if which == "latest" else int(which)
+        if step is None:
+            raise FileNotFoundError(f"no checkpoints in {self.directory}")
+        restored = self._mgr.restore(
+            step,
+            args=ocp.args.Composite(state=ocp.args.StandardRestore()),
+        )
+        return restored["state"]["params"]
+
     def close(self):
         self._mgr.close()

@@ -1,0 +1,98 @@
+"""CLI-level end-to-end tests with tiny models and synthetic data."""
+import json
+import os
+
+import numpy as np
+import pytest
+from PIL import Image
+
+
+@pytest.fixture(scope="module")
+def data_tree(tmp_path_factory):
+    root = tmp_path_factory.mktemp("cli_data")
+    img_dir = root / "images"
+    mask_dir = root / "masks"
+    img_dir.mkdir()
+    rng = np.random.default_rng(0)
+    for i in range(6):
+        arr = rng.integers(0, 255, (32, 32, 3), dtype=np.uint8)
+        Image.fromarray(arr).save(img_dir / f"img_{i}.png")
+    for split in ("train", "val", "test"):
+        d = mask_dir / split
+        d.mkdir(parents=True)
+        for j in range(2):
+            m = np.full((32, 32), 255, np.uint8)
+            m[8:24, 8 + j * 2 : 24] = 0
+            Image.fromarray(m).save(d / f"mask_{j}.png")
+    return str(img_dir), str(mask_dir)
+
+
+TINY_MODEL = [
+    "--image_size", "32", "--model_channels", "32",
+    "--channel_mult", "1", "2", "--num_heads", "2",
+    "--num_head_channels", "16", "--attention_resolutions", "2",
+]
+
+
+def test_evaluate_cli_quick_test(data_tree, tmp_path):
+    from fidm_tpu.cli.evaluate import main
+
+    img_dir, mask_dir = data_tree
+    out_dir = str(tmp_path / "results")
+    results = main([
+        "--data_dir", img_dir, "--mask_dir", mask_dir,
+        "--output_dir", out_dir, "--quick_test", "--diffusion_steps", "100",
+        *TINY_MODEL,
+    ])
+    assert results["num_samples"] == 6
+    assert np.isfinite(results["ssim_mean"])
+    assert np.isfinite(results["fid_proxy"])
+    assert os.path.exists(os.path.join(out_dir, "metrics.txt"))
+    assert os.path.exists(os.path.join(out_dir, "metrics.json"))
+    assert os.path.exists(os.path.join(out_dir, "inpainted", "00000.png"))
+    assert os.path.exists(os.path.join(out_dir, "comparison_batch000.png"))
+    with open(os.path.join(out_dir, "metrics.json")) as f:
+        assert json.load(f)["preset"] == "ddim-100"
+
+
+def test_train_cli_one_epoch(data_tree, tmp_path):
+    from fidm_tpu.cli.train import main
+
+    img_dir, mask_dir = data_tree
+    ckpt_dir = str(tmp_path / "ckpt")
+    history = main([
+        "--train_dir", img_dir, "--val_dir", img_dir, "--mask_dir", mask_dir,
+        "--checkpoint_dir", ckpt_dir, "--batch_size", "2",
+        "--num_epochs", "1", "--image_size", "32", "--diffusion_steps", "50",
+        *TINY_MODEL,
+    ])
+    assert len(history) == 1
+    assert np.isfinite(history[0]["train_loss"])
+    assert np.isfinite(history[0]["val_loss"])
+    assert os.path.exists(os.path.join(ckpt_dir, "history.json"))
+    # checkpoint restorable for eval
+    from fidm_tpu.training import CheckpointManager
+
+    params = CheckpointManager(ckpt_dir).restore_params("latest")
+    assert "base" in params
+
+
+def test_visualize_noise_cli(tmp_path):
+    from fidm_tpu.cli.visualize_noise import main
+
+    out = str(tmp_path / "vis")
+    main(["--out", out, "--image_size", "32", "--steps", "100",
+          "--timesteps", "0", "50", "99"])
+    assert os.path.exists(os.path.join(out, "noising_grid.png"))
+    assert os.path.exists(os.path.join(out, "schedule_curves.png"))
+
+
+def test_generate_cli(tmp_path):
+    from fidm_tpu.cli.generate import main
+
+    out = str(tmp_path / "gen")
+    main(["--output_dir", out, "--num_samples", "2", "--batch_size", "2",
+          "--image_size", "32", "--method", "ddim", "--ddim_timesteps", "5",
+          "--diffusion_steps", "50", *TINY_MODEL])
+    assert os.path.exists(os.path.join(out, "00000.png"))
+    assert os.path.exists(os.path.join(out, "grid.png"))
