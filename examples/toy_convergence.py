@@ -1,0 +1,114 @@
+"""End-to-end convergence demonstration on synthetic data.
+
+Trains a small inpainting UNet from scratch on a procedurally-generated
+"two-tone gradient faces" distribution, then inpaints held-out samples and
+reports hole-region PSNR against ground truth — proof the full
+train -> checkpoint -> sample loop learns, beyond unit tests.
+
+Run (TPU, ~2-4 min):  python examples/toy_convergence.py
+"""
+import sys, os
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/fidm_jax_cache")
+
+from fidm_tpu.diffusion import DiffusionSchedule
+from fidm_tpu.models import InpaintingUNet, UNetConfig
+from fidm_tpu.sampling import SamplerConfig, inpaint_sample
+from fidm_tpu.metrics import psnr
+from fidm_tpu.training import TrainState, make_optimizer, make_train_step
+from fidm_tpu.training.lr import make_lr_schedule
+
+S = 32
+CFG = UNetConfig(
+    image_size=S, in_channels=9, model_channels=64, out_channels=6,
+    num_res_blocks=1, attention_resolutions=(4,), channel_mult=(1, 2, 2),
+    num_heads=2, num_head_channels=32,
+)
+T = 200
+STEPS = 600
+BATCH = 64
+
+
+def synth_batch(key, n):
+    """Smooth random 2-tone images: low-frequency sinusoid mixtures."""
+    k1, k2, k3 = jax.random.split(key, 3)
+    freqs = jax.random.uniform(k1, (n, 2, 3), minval=0.5, maxval=2.5)
+    phases = jax.random.uniform(k2, (n, 2, 3), minval=0, maxval=2 * np.pi)
+    yy, xx = jnp.mgrid[0:S, 0:S] / S * 2 * np.pi
+    img = (
+        jnp.sin(freqs[:, 0, None, None, :] * yy[None, :, :, None]
+                + phases[:, 0, None, None, :])
+        + jnp.sin(freqs[:, 1, None, None, :] * xx[None, :, :, None]
+                  + phases[:, 1, None, None, :])
+    ) / 2.0
+    # random box masks
+    pos = jax.random.randint(k3, (n, 2), S // 8, S // 2)
+    yy_i = jnp.arange(S)[None, :, None]
+    xx_i = jnp.arange(S)[None, None, :]
+    mask = (
+        (yy_i >= pos[:, 0:1, None]) & (yy_i < pos[:, 0:1, None] + S // 2)
+        & (xx_i >= pos[:, 1:2, None]) & (xx_i < pos[:, 1:2, None] + S // 2)
+    ).astype(jnp.float32)[..., None]
+    return {"image": img, "masked_image": img * (1 - mask), "mask": mask}
+
+
+def main():
+    key = jax.random.PRNGKey(0)
+    sched = DiffusionSchedule.create("cosine", T)
+    model = InpaintingUNet(CFG)
+    b0 = synth_batch(key, 1)
+    variables = model.init(key, b0["image"], jnp.zeros((1,), jnp.int32),
+                           b0["masked_image"], b0["mask"])
+    tx = make_optimizer(make_lr_schedule("cosine", 3e-4, STEPS, 50))
+    state = TrainState.create(apply_fn=model.apply,
+                              params=variables["params"], tx=tx)
+    step = make_train_step(sched)
+
+    t0 = time.time()
+    first = last = None
+    for i in range(STEPS):
+        batch = synth_batch(jax.random.fold_in(key, i), BATCH)
+        state, metrics = step(state, batch, jax.random.PRNGKey(1))
+        if i == 0:
+            first = float(metrics["loss"])
+        if i % 100 == 0 or i == STEPS - 1:
+            last = float(metrics["loss"])
+            print(f"step {i}: loss={last:.4f} ({time.time()-t0:.0f}s)")
+
+    # held-out eval: inpaint and measure hole PSNR vs a copy-masked baseline
+    test = synth_batch(jax.random.PRNGKey(999), 16)
+    params = state.params
+
+    def apply_fn(x, t, mi, m):
+        return model.apply({"params": params}, x, t, mi, m)
+
+    out = inpaint_sample(
+        apply_fn, sched,
+        SamplerConfig(method="ddim", num_steps=50, eta=0.0, injection=True),
+        gt=test["image"], mask=test["mask"], key=jax.random.PRNGKey(7),
+    )
+    hole = test["mask"]
+    gt01 = (test["image"] + 1) / 2
+    out01 = (jnp.clip(out, -1, 1) + 1) / 2
+    # PSNR restricted to hole region (compare against zero-fill baseline)
+    mse_model = float((((out01 - gt01) ** 2) * hole).sum() / (hole.sum() * 3))
+    base01 = (test["masked_image"] + 1) / 2
+    mse_base = float((((base01 - gt01) ** 2) * hole).sum() / (hole.sum() * 3))
+    psnr_model = 10 * np.log10(1.0 / mse_model)
+    psnr_base = 10 * np.log10(1.0 / mse_base)
+    print(f"loss: {first:.4f} -> {last:.4f}")
+    print(f"hole PSNR: model {psnr_model:.2f} dB vs zero-fill {psnr_base:.2f} dB")
+    assert last < first * 0.5, "training did not converge"
+    assert psnr_model > psnr_base + 3, "inpainting no better than baseline"
+    print("CONVERGENCE OK")
+
+
+if __name__ == "__main__":
+    main()

@@ -57,6 +57,9 @@ def parse_args(argv=None):
     p.add_argument("--injection_schedule", default="all",
                    choices=["all", "high", "low"])
     p.add_argument("--quantize", default="none", choices=["none", "int8"])
+    p.add_argument("--dtype", default="bf16", choices=["bf16", "f32"],
+                   help="compute dtype (the FP16-inference analogue of "
+                        "test_quant.py:393-396; bf16 is TPU-native)")
     p.add_argument("--quick_test", action="store_true",
                    help="8 samples, 2 batches, 10 DDIM steps "
                         "(test_inpainting_better.py:865-889)")
@@ -96,8 +99,11 @@ def main(argv=None):
         final_blend=not args.no_blend,
     )
 
+    import jax.numpy as jnp
+
     config = PipelineConfig(
         unet=ffhq256_config(
+            dtype=jnp.bfloat16 if args.dtype == "bf16" else jnp.float32,
             image_size=args.image_size,
             model_channels=args.model_channels,
             channel_mult=tuple(args.channel_mult),

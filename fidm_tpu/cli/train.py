@@ -62,6 +62,8 @@ def parse_args(argv=None):
     p.add_argument("--lora_alpha", type=float, default=16.0)
     p.add_argument("--fsdp", type=int, default=1,
                    help="fsdp axis size (1 = pure data parallel)")
+    p.add_argument("--ema_decay", type=float, default=0.0,
+                   help=">0 maintains an EMA of the params (e.g. 0.9999)")
     return p.parse_args(argv)
 
 
@@ -141,11 +143,16 @@ def main(argv=None):
                                        use_fsdp=args.fsdp > 1)
 
     state = TrainState.create(apply_fn=model.apply, params=train_params, tx=tx)
+    if args.ema_decay > 0:
+        from ..training import init_ema
+
+        state = state.replace(ema_params=init_ema(train_params))
 
     train_step = make_train_step(
         sched, mesh=mesh, use_injection=not args.no_injection,
         injection_schedule=args.injection_schedule, vb_weight=args.vb_weight,
         param_transform=param_transform,
+        ema_decay=args.ema_decay if args.ema_decay > 0 else None,
     )
     eval_step = make_eval_step(
         sched, mesh=mesh, use_injection=not args.no_injection,

@@ -31,7 +31,15 @@ __all__ = ["TrainState", "make_optimizer", "make_train_step", "make_eval_step"]
 
 
 class TrainState(train_state.TrainState):
-    """Flax TrainState; `apply_fn` is the InpaintingUNet apply."""
+    """Flax TrainState with optional EMA parameters.
+
+    `apply_fn` is the InpaintingUNet apply. Set `ema_params` (via
+    `training.ema.init_ema`) and pass `ema_decay` to `make_train_step` to
+    maintain an exponential moving average for eval/checkpointing — a
+    quality feature the reference training loop lacks.
+    """
+
+    ema_params: Any = None
 
 
 def make_optimizer(
@@ -100,6 +108,7 @@ def make_train_step(
     mesh: Optional[Mesh] = None,
     donate: bool = True,
     param_transform: Optional[Callable] = None,
+    ema_decay: Optional[float] = None,
 ):
     """Build the jitted (optionally mesh-sharded) train step.
 
@@ -131,6 +140,13 @@ def make_train_step(
         )
         grad_norm = optax.global_norm(grads)
         new_state = state.apply_gradients(grads=grads)
+        if ema_decay is not None and state.ema_params is not None:
+            from .ema import update_ema
+
+            new_state = new_state.replace(
+                ema_params=update_ema(state.ema_params, new_state.params,
+                                      ema_decay)
+            )
         metrics = {
             "loss": loss,
             "mse": terms.get("mse", loss),

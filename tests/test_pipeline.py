@@ -1,0 +1,84 @@
+"""Pipeline facade tests: presets, config parity, jit caching, mesh mode."""
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from fidm_tpu.models import UNetConfig
+from fidm_tpu.pipeline import (
+    SAMPLER_PRESETS,
+    InpaintingPipeline,
+    PipelineConfig,
+    create_model_and_schedule,
+)
+
+TINY = PipelineConfig(
+    unet=UNetConfig(
+        image_size=16, in_channels=9, model_channels=32, out_channels=6,
+        num_res_blocks=1, attention_resolutions=(2,), channel_mult=(1, 2),
+        num_heads=2, num_head_channels=16, dtype=jnp.float32,
+    ),
+    schedule="quadratic", num_timesteps=50,
+    sampler=SAMPLER_PRESETS["ddim-30"],
+)
+
+
+def test_presets_match_reference_eval_defaults():
+    """The six forked test scripts' defaults (SURVEY.md §2)."""
+    assert SAMPLER_PRESETS["ddpm-1000"].method == "ddpm"
+    assert SAMPLER_PRESETS["ddim-100"].num_steps == 100
+    assert SAMPLER_PRESETS["ddim-100"].eta == 0.9
+    assert SAMPLER_PRESETS["ddim-30"].num_steps == 30
+    assert SAMPLER_PRESETS["ddim-50-eta0.75"].eta == 0.75
+    assert all(p.injection for p in SAMPLER_PRESETS.values())
+
+
+def test_canonical_config_matches_reference_factory():
+    """train_inpainting.py:208-255 hyperparameters."""
+    cfg = PipelineConfig()
+    assert cfg.schedule == "quadratic" and cfg.num_timesteps == 1000
+    u = cfg.unet
+    assert (u.image_size, u.model_channels, u.out_channels) == (256, 128, 6)
+    assert u.channel_mult == (1, 1, 2, 2, 4, 4)
+    assert u.attention_resolutions == (16,)
+    assert u.num_heads == 4 and u.num_head_channels == 64
+    assert u.use_scale_shift_norm and u.resblock_updown
+    assert u.in_channels == 9
+
+
+def test_pipeline_inpaint_and_jit_cache():
+    pipe = InpaintingPipeline.create(TINY)
+    gt = jnp.zeros((2, 16, 16, 3))
+    mask = jnp.ones((2, 16, 16, 1))
+    out = pipe.inpaint(gt, mask, jax.random.PRNGKey(0))
+    assert out.shape == (2, 16, 16, 3)
+    assert len(pipe._jitted) == 1
+    # same shape+cfg hits the cache; new sampler adds an entry
+    pipe.inpaint(gt, mask, jax.random.PRNGKey(1))
+    assert len(pipe._jitted) == 1
+    pipe.inpaint(gt, mask, jax.random.PRNGKey(1),
+                 sampler=dataclasses.replace(TINY.sampler, num_steps=5))
+    assert len(pipe._jitted) == 2
+
+
+def test_pipeline_rejects_bad_mask():
+    pipe = InpaintingPipeline.create(TINY)
+    gt = jnp.zeros((1, 16, 16, 3))
+    with pytest.raises(ValueError, match="mask must be"):
+        pipe.inpaint(gt, jnp.ones((1, 16, 16, 3)), jax.random.PRNGKey(0))
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_pipeline_mesh_sharded_sampling():
+    from fidm_tpu.parallel import create_mesh
+
+    mesh = create_mesh()
+    pipe = InpaintingPipeline.create(TINY, mesh=mesh)
+    gt = jnp.zeros((8, 16, 16, 3))
+    mask = jnp.ones((8, 16, 16, 1))
+    out = pipe.inpaint(gt, mask, jax.random.PRNGKey(0))
+    assert out.shape == (8, 16, 16, 3)
+    # output sharded over the batch axis
+    assert len(out.addressable_shards) == 8

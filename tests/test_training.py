@@ -154,3 +154,45 @@ def test_train_then_sample_smoke():
     np.testing.assert_array_equal(
         np.asarray(out)[keep], np.asarray(batch["image"])[keep]
     )
+
+
+def test_ema_tracking():
+    from fidm_tpu.training import init_ema
+
+    _, state = _make_state(1e-2)
+    state = state.replace(ema_params=init_ema(state.params))
+    step = make_train_step(SCHED, donate=False, ema_decay=0.5)
+    batch = _batch(jax.random.PRNGKey(1))
+    s0_params = state.params
+    for _ in range(3):
+        state, _ = step(state, batch, jax.random.PRNGKey(0))
+    # EMA lags params but has moved away from init
+    p = jax.tree_util.tree_leaves(state.params)[0]
+    e = jax.tree_util.tree_leaves(state.ema_params)[0]
+    i = jax.tree_util.tree_leaves(s0_params)[0]
+    assert not np.allclose(np.asarray(e), np.asarray(i))
+    assert not np.allclose(np.asarray(e), np.asarray(p))
+
+
+def test_loss_scale_dynamics():
+    from fidm_tpu.training.precision import (
+        init_loss_scale,
+        scale_loss,
+        unscale_grads,
+    )
+
+    st = init_loss_scale(initial=8.0, growth_interval=2)
+    assert float(scale_loss(st, jnp.asarray(2.0))) == 16.0
+    grads = {"w": jnp.ones(3) * 8.0}
+    st, g, finite = unscale_grads(st, grads)
+    assert bool(finite)
+    np.testing.assert_allclose(np.asarray(g["w"]), 1.0)
+    # overflow halves the scale
+    st2, _, finite2 = unscale_grads(st, {"w": jnp.array([jnp.inf, 1, 1])})
+    assert not bool(finite2)
+    assert float(st2.scale) == 4.0
+    # growth after N finite steps
+    st3, _, _ = unscale_grads(st, grads)
+    st3 = st3._replace(scale=st.scale)
+    st4, _, _ = unscale_grads(st3._replace(growth_counter=jnp.asarray(1)), grads)
+    assert float(st4.scale) == float(st.scale) * 2.0
