@@ -1,0 +1,175 @@
+"""Batched inpainting inference server.
+
+A production-serving layer with no reference equivalent (the reference is
+research scripts only): an HTTP endpoint that micro-batches concurrent
+inpainting requests into fixed-shape device batches (one compiled program,
+no shape churn), runs them through the jitted sampler, and answers each
+request with its own result.
+
+Protocol (POST /inpaint):
+  body: npz with `image` [H,W,3] float32 in [-1,1] and `mask` [H,W,1]
+        (1 = hole); optional scalar `seed`.
+  response: npz with `image` [H,W,3] — the inpainted result.
+GET /healthz returns {"status": "ok", "batch_size": N, ...}.
+
+Design: request threads enqueue (arrays, Future); a single dispatcher thread
+drains up to `batch_size` items (padding the tail with repeats so the
+compiled shape never changes), runs the pipeline, and resolves the futures.
+This is the TPU-friendly pattern — the device sees one static-shape program
+at high occupancy regardless of client concurrency.
+"""
+from __future__ import annotations
+
+import io
+import json
+import queue
+import threading
+import time
+from concurrent.futures import Future
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Optional
+
+import jax
+import numpy as np
+
+__all__ = ["InpaintingServer", "serve"]
+
+
+class _Request:
+    __slots__ = ("image", "mask", "seed", "future")
+
+    def __init__(self, image, mask, seed):
+        self.image = image
+        self.mask = mask
+        self.seed = seed
+        self.future: Future = Future()
+
+
+class InpaintingServer:
+    """Micro-batching dispatcher around an InpaintingPipeline."""
+
+    def __init__(self, pipeline, batch_size: int = 8,
+                 max_wait_ms: float = 20.0):
+        self.pipeline = pipeline
+        self.batch_size = batch_size
+        self.max_wait_ms = max_wait_ms
+        self.queue: "queue.Queue[_Request]" = queue.Queue()
+        self.stats = {"requests": 0, "batches": 0, "batch_fill_sum": 0}
+        self._stop = threading.Event()
+        self._thread = threading.Thread(target=self._dispatch_loop,
+                                        daemon=True)
+        self._thread.start()
+
+    def submit(self, image: np.ndarray, mask: np.ndarray,
+               seed: Optional[int] = None) -> Future:
+        S = self.pipeline.config.unet.image_size
+        if image.shape != (S, S, 3):
+            raise ValueError(f"image must be [{S},{S},3], got {image.shape}")
+        if mask.shape != (S, S, 1):
+            raise ValueError(f"mask must be [{S},{S},1], got {mask.shape}")
+        req = _Request(np.asarray(image, np.float32),
+                       np.asarray(mask, np.float32),
+                       int(seed) if seed is not None else int(time.time_ns() % 2**31))
+        self.queue.put(req)
+        return req.future
+
+    def _dispatch_loop(self):
+        while not self._stop.is_set():
+            try:
+                first = self.queue.get(timeout=0.1)
+            except queue.Empty:
+                continue
+            batch = [first]
+            deadline = time.perf_counter() + self.max_wait_ms / 1000.0
+            while len(batch) < self.batch_size:
+                timeout = deadline - time.perf_counter()
+                if timeout <= 0:
+                    break
+                try:
+                    batch.append(self.queue.get(timeout=timeout))
+                except queue.Empty:
+                    break
+            self._run_batch(batch)
+
+    def _run_batch(self, batch):
+        n = len(batch)
+        pad = self.batch_size - n
+        gt = np.stack([r.image for r in batch] + [batch[-1].image] * pad)
+        mask = np.stack([r.mask for r in batch] + [batch[-1].mask] * pad)
+        key = jax.random.PRNGKey(batch[0].seed)
+        try:
+            out = np.asarray(self.pipeline.inpaint(gt, mask, key))
+        except Exception as e:  # resolve every waiter with the error
+            for r in batch:
+                r.future.set_exception(e)
+            return
+        for i, r in enumerate(batch):
+            r.future.set_result(out[i])
+        self.stats["requests"] += n
+        self.stats["batches"] += 1
+        self.stats["batch_fill_sum"] += n
+
+    def close(self):
+        self._stop.set()
+        self._thread.join(timeout=2)
+
+
+def _make_handler(server: InpaintingServer):
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *a):  # quiet
+            pass
+
+        def do_GET(self):
+            if self.path == "/healthz":
+                body = json.dumps({
+                    "status": "ok",
+                    "batch_size": server.batch_size,
+                    **server.stats,
+                }).encode()
+                self.send_response(200)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+            else:
+                self.send_error(404)
+
+        def do_POST(self):
+            if self.path != "/inpaint":
+                self.send_error(404)
+                return
+            try:
+                length = int(self.headers.get("Content-Length", 0))
+                data = np.load(io.BytesIO(self.rfile.read(length)),
+                               allow_pickle=False)
+                seed = int(data["seed"]) if "seed" in data else None
+                fut = server.submit(data["image"], data["mask"], seed)
+                result = fut.result(timeout=600)
+                buf = io.BytesIO()
+                np.savez_compressed(buf, image=result)
+                body = buf.getvalue()
+                self.send_response(200)
+                self.send_header("Content-Type", "application/octet-stream")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+            except ValueError as e:
+                body = json.dumps({"error": str(e)}).encode()
+                self.send_response(400)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+            except Exception as e:
+                self.send_error(500, str(e))
+
+    return Handler
+
+
+def serve(pipeline, host: str = "127.0.0.1", port: int = 8571,
+          batch_size: int = 8, max_wait_ms: float = 20.0):
+    """Start the HTTP server; returns (httpd, dispatcher) — call
+    httpd.serve_forever() (or run it in a thread for tests)."""
+    dispatcher = InpaintingServer(pipeline, batch_size, max_wait_ms)
+    httpd = ThreadingHTTPServer((host, port), _make_handler(dispatcher))
+    return httpd, dispatcher

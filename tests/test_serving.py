@@ -1,0 +1,118 @@
+"""Serving-layer tests: micro-batching dispatcher + HTTP round trip."""
+import io
+import threading
+import urllib.request
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from fidm_tpu.models import UNetConfig
+from fidm_tpu.pipeline import InpaintingPipeline, PipelineConfig
+from fidm_tpu.sampling import SamplerConfig
+from fidm_tpu.serving import InpaintingServer, serve
+
+S = 16
+TINY = PipelineConfig(
+    unet=UNetConfig(
+        image_size=S, in_channels=9, model_channels=32, out_channels=6,
+        num_res_blocks=1, attention_resolutions=(2,), channel_mult=(1, 2),
+        num_heads=2, num_head_channels=16, dtype=jnp.float32,
+    ),
+    schedule="linear", num_timesteps=50,
+    sampler=SamplerConfig(method="ddim", num_steps=5, eta=0.0),
+)
+
+
+@pytest.fixture(scope="module")
+def pipeline():
+    return InpaintingPipeline.create(TINY)
+
+
+def _sample_input(seed=0):
+    rng = np.random.default_rng(seed)
+    image = np.clip(rng.standard_normal((S, S, 3)), -1, 1).astype(np.float32)
+    mask = np.zeros((S, S, 1), np.float32)
+    mask[4:12, 4:12] = 1.0
+    return image, mask
+
+
+def test_dispatcher_batches_concurrent_requests(pipeline):
+    server = InpaintingServer(pipeline, batch_size=4, max_wait_ms=200)
+    try:
+        inputs = [_sample_input(i) for i in range(4)]
+        futures = [server.submit(im, m, seed=0) for im, m in inputs]
+        results = [f.result(timeout=300) for f in futures]
+        for (im, m), out in zip(inputs, results):
+            assert out.shape == (S, S, 3)
+            keep = m[..., 0] < 0.5
+            np.testing.assert_array_equal(out[keep], im[keep])
+        # all four rode one device batch
+        assert server.stats["batches"] == 1
+        assert server.stats["requests"] == 4
+    finally:
+        server.close()
+
+
+def test_dispatcher_pads_partial_batch(pipeline):
+    server = InpaintingServer(pipeline, batch_size=4, max_wait_ms=10)
+    try:
+        im, m = _sample_input(9)
+        out = server.submit(im, m, seed=1).result(timeout=300)
+        assert out.shape == (S, S, 3)
+        assert server.stats["requests"] == 1
+    finally:
+        server.close()
+
+
+def test_dispatcher_rejects_bad_shapes(pipeline):
+    server = InpaintingServer(pipeline, batch_size=2)
+    try:
+        with pytest.raises(ValueError, match="image must be"):
+            server.submit(np.zeros((8, 8, 3), np.float32),
+                          np.zeros((S, S, 1), np.float32))
+        with pytest.raises(ValueError, match="mask must be"):
+            server.submit(np.zeros((S, S, 3), np.float32),
+                          np.zeros((S, S, 3), np.float32))
+    finally:
+        server.close()
+
+
+def test_http_round_trip(pipeline):
+    httpd, dispatcher = serve(pipeline, port=0, batch_size=2, max_wait_ms=10)
+    port = httpd.server_address[1]
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    try:
+        # health check
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/healthz", timeout=30
+        ) as r:
+            assert b'"status": "ok"' in r.read()
+        # inpaint round trip
+        image, mask = _sample_input(3)
+        buf = io.BytesIO()
+        np.savez_compressed(buf, image=image, mask=mask, seed=7)
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/inpaint", data=buf.getvalue(),
+            method="POST",
+        )
+        with urllib.request.urlopen(req, timeout=300) as r:
+            out = np.load(io.BytesIO(r.read()))["image"]
+        assert out.shape == (S, S, 3)
+        keep = mask[..., 0] < 0.5
+        np.testing.assert_array_equal(out[keep], image[keep])
+        # bad shape -> 400 with error body
+        buf = io.BytesIO()
+        np.savez_compressed(buf, image=image[:8], mask=mask)
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/inpaint", data=buf.getvalue(),
+            method="POST",
+        )
+        with pytest.raises(urllib.error.HTTPError) as exc_info:
+            urllib.request.urlopen(req, timeout=60)
+        assert exc_info.value.code == 400
+    finally:
+        httpd.shutdown()
+        dispatcher.close()

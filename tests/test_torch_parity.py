@@ -140,6 +140,31 @@ def test_converter_expands_3to9_channels():
     )
 
 
+def test_unet_parity_plain_updown_two_resblocks():
+    """Covers the converter's Downsample/Upsample-conv path
+    (resblock_updown=False, `unet.py:91,142`) and num_res_blocks=2."""
+    import dataclasses
+
+    cfg = dataclasses.replace(CFG, resblock_updown=False, num_res_blocks=2,
+                              num_heads_upsample=2)
+    tm = _torch_model(cfg)
+    with torch.no_grad():
+        for p in tm.parameters():
+            p.copy_(torch.randn_like(p) * 0.05)
+    sd = {k: v.detach().numpy() for k, v in tm.state_dict().items()}
+    params = convert_state_dict(sd, cfg)
+
+    rng = np.random.default_rng(2)
+    x = rng.standard_normal((1, 16, 16, 3), np.float32)
+    t = np.array([42], np.int64)
+    with torch.no_grad():
+        out_t = tm(torch.from_numpy(x.transpose(0, 3, 1, 2)),
+                   torch.from_numpy(t)).numpy().transpose(0, 2, 3, 1)
+    out_f = np.asarray(UNet(cfg).apply({"params": params}, jnp.asarray(x),
+                                       jnp.asarray(t)))
+    np.testing.assert_allclose(out_f, out_t, atol=2e-4, rtol=1e-3)
+
+
 def test_diffusion_math_parity_with_torch_reference():
     """GaussianDiffusion q/p math vs the reference class on random tensors."""
     from gaussian_diffusion import GaussianDiffusion
