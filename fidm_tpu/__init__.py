@@ -10,7 +10,20 @@ on-device samplers, mesh-sharded training).
 
 __version__ = "0.1.0"
 
-from . import data, diffusion, models, ops, parallel, sampling, training
+from . import (
+    data,
+    diffusion,
+    distill,
+    lora,
+    metrics,
+    models,
+    ops,
+    parallel,
+    quant,
+    sampling,
+    serving,
+    training,
+)
 from .pipeline import (
     SAMPLER_PRESETS,
     InpaintingPipeline,

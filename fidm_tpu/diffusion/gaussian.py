@@ -49,11 +49,16 @@ __all__ = [
 
 
 class ModelMeanType(enum.Enum):
-    """What the model predicts (reference `losses.py:10-16`)."""
+    """What the model predicts (reference `losses.py:10-16`).
+
+    VELOCITY (v = alpha*eps - sigma*x0, Salimans & Ho 2022) is an addition
+    beyond the reference, used by the progressive-distillation path.
+    """
 
     PREVIOUS_X = enum.auto()
     START_X = enum.auto()
     EPSILON = enum.auto()
+    VELOCITY = enum.auto()
 
 
 class ModelVarType(enum.Enum):
@@ -151,6 +156,24 @@ def predict_eps_from_xstart(sched, x_t, t, pred_xstart):
     ) / extract(sched.sqrt_recipm1_alphas_cumprod, t, nd)
 
 
+def predict_xstart_from_v(sched, x_t, t, v):
+    """x0 = alpha*x_t - sigma*v (v-parameterization)."""
+    nd = x_t.ndim
+    return (
+        extract(sched.sqrt_alphas_cumprod, t, nd) * x_t
+        - extract(sched.sqrt_one_minus_alphas_cumprod, t, nd) * v
+    )
+
+
+def velocity_from_eps_xstart(sched, t, eps, x_start):
+    """v = alpha*eps - sigma*x0 — the v-prediction training target."""
+    nd = eps.ndim
+    return (
+        extract(sched.sqrt_alphas_cumprod, t, nd) * eps
+        - extract(sched.sqrt_one_minus_alphas_cumprod, t, nd) * x_start
+    )
+
+
 # --------------------------------------------------------------------------
 # model-output interpretation
 # --------------------------------------------------------------------------
@@ -228,6 +251,9 @@ def p_mean_variance(
         mean, _, _ = q_posterior_mean_variance(sched, pred_xstart, x, t)
     elif mean_type == ModelMeanType.EPSILON:
         pred_xstart = process_xstart(predict_xstart_from_eps(sched, x, t, mean_part))
+        mean, _, _ = q_posterior_mean_variance(sched, pred_xstart, x, t)
+    elif mean_type == ModelMeanType.VELOCITY:
+        pred_xstart = process_xstart(predict_xstart_from_v(sched, x, t, mean_part))
         mean, _, _ = q_posterior_mean_variance(sched, pred_xstart, x, t)
     else:
         raise NotImplementedError(mean_type)

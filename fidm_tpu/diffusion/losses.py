@@ -93,10 +93,13 @@ def training_losses(
         model_output = model_fn(x_t, t, masked_image, mask)
         mean_part, var_values = gd.split_model_output(model_output, var_type)
 
-        target = {
-            gd.ModelMeanType.EPSILON: noise,
-            gd.ModelMeanType.START_X: x_start,
-        }[mean_type]
+        if mean_type == gd.ModelMeanType.VELOCITY:
+            target = gd.velocity_from_eps_xstart(sched, t, noise, x_start)
+        else:
+            target = {
+                gd.ModelMeanType.EPSILON: noise,
+                gd.ModelMeanType.START_X: x_start,
+            }[mean_type]
         terms["mse"] = masked_mse(target, mean_part, mask)
         if loss_type == gd.LossType.RESCALED_MSE:
             terms["mse"] = terms["mse"] * sched.num_timesteps

@@ -13,13 +13,14 @@ from typing import Optional
 
 _HERE = os.path.dirname(os.path.abspath(__file__))
 _SRC = os.path.join(_HERE, "maskgen.cpp")
-_LIB = os.path.join(_HERE, "libfidm_native.so")
+_LIB = os.path.join(_HERE, "_artifacts", "libfidm_native.so")
 
 _lib: Optional[ctypes.CDLL] = None
 _tried = False
 
 
 def _build() -> bool:
+    os.makedirs(os.path.dirname(_LIB), exist_ok=True)
     try:
         subprocess.run(
             ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-o", _LIB,

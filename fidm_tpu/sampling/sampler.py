@@ -49,6 +49,9 @@ __all__ = ["SamplerConfig", "inpaint_sample", "sample", "host_alphas_cumprod"]
 class SamplerConfig:
     method: str = "ddim"                 # "ddim" | "ddpm"
     num_steps: Optional[int] = 100       # DDIM subset size; None = all T
+    # explicit descending timestep grid (overrides num_steps) — used e.g.
+    # to sample progressive-distillation students on their training grid
+    timesteps: Optional[tuple] = None
     eta: float = 0.0
     clip_denoised: bool = True
     injection: bool = True
@@ -82,8 +85,12 @@ def _injection_gate(ts: np.ndarray, schedule: str, T: int) -> np.ndarray:
 def _ddim_tables(sched: DiffusionSchedule, cfg: SamplerConfig):
     """Per-step float64 coefficient tables for the respaced DDIM loop."""
     T = sched.num_timesteps
-    K = cfg.num_steps or T
-    seq = ddim_timestep_sequence(T, K) if K < T else np.arange(T)[::-1]
+    if cfg.timesteps is not None:
+        seq = np.asarray(cfg.timesteps, dtype=np.int64)
+        assert (np.diff(seq) < 0).all(), "timesteps must be descending"
+    else:
+        K = cfg.num_steps or T
+        seq = ddim_timestep_sequence(T, K) if K < T else np.arange(T)[::-1]
     acp = host_alphas_cumprod(sched)
 
     a_t = acp[seq]
@@ -142,6 +149,26 @@ def _to_device_xs(tables, dtype=jnp.float32):
         k: jnp.asarray(v, dtype=jnp.int32 if v.dtype.kind == "i" else dtype)
         for k, v in tables.items()
     }
+
+
+def _x0_eps_from_raw(raw, x, s, cfg: SamplerConfig):
+    """(pred_x0, eps) from the model's raw 3-channel output per mean_type.
+
+    EPSILON keeps the reference behavior exactly: the DDIM direction term
+    uses the raw eps, NOT an eps re-derived from the clipped x0
+    (`test_inpainting_better.py:547-567`).
+    """
+    if cfg.mean_type == gd.ModelMeanType.EPSILON:
+        pred_x0 = (x - s["sqrt_one_minus_a_t"] * raw) / s["sqrt_a_t"]
+        return pred_x0, raw
+    if cfg.mean_type == gd.ModelMeanType.VELOCITY:
+        pred_x0 = s["sqrt_a_t"] * x - s["sqrt_one_minus_a_t"] * raw
+    elif cfg.mean_type == gd.ModelMeanType.START_X:
+        pred_x0 = raw
+    else:
+        raise NotImplementedError(cfg.mean_type)
+    eps = (x - s["sqrt_a_t"] * pred_x0) / s["sqrt_one_minus_a_t"]
+    return pred_x0, eps
 
 
 def _gt_noise(inject_key, timestep, shape, dtype):
@@ -209,10 +236,12 @@ def inpaint_sample(
             t_full = jnp.full((B,), s["t"], jnp.int32)
             x = _maybe_pre_inject(x, s, gt, keep, inject_key, pre)
             out = apply_fn(x, t_full, masked_image, mask)
-            eps = out[..., :3]  # learned variance ignored for DDIM (":523-529")
-            pred_x0 = (x - s["sqrt_one_minus_a_t"] * eps) / s["sqrt_a_t"]
+            raw = out[..., :3]  # learned variance ignored for DDIM (":523-529")
+            pred_x0, eps = _x0_eps_from_raw(raw, x, s, cfg)
             if cfg.clip_denoised:
                 pred_x0 = jnp.clip(pred_x0, -1.0, 1.0)
+                if cfg.mean_type != gd.ModelMeanType.EPSILON:
+                    eps = (x - s["sqrt_a_t"] * pred_x0) / s["sqrt_one_minus_a_t"]
             noise = jax.random.normal(
                 jax.random.fold_in(step_key, s["step"]), x.shape, x.dtype
             )
@@ -278,8 +307,8 @@ def sample(
         def body(x, s):
             t_full = jnp.full((B,), s["t"], jnp.int32)
             out = apply_fn(x, t_full)
-            eps, _ = gd.split_model_output(out, cfg.var_type)
-            pred_x0 = (x - s["sqrt_one_minus_a_t"] * eps) / s["sqrt_a_t"]
+            raw, _ = gd.split_model_output(out, cfg.var_type)
+            pred_x0, _ = _x0_eps_from_raw(raw, x, s, cfg)
             if cfg.clip_denoised:
                 pred_x0 = jnp.clip(pred_x0, -1.0, 1.0)
             # recompute eps from the (possibly clipped) x0 — library parity

@@ -69,6 +69,7 @@ def _loss_for_batch(
     *,
     loss_type,
     var_type,
+    mean_type,
     use_injection,
     injection_schedule,
     vb_weight,
@@ -90,6 +91,7 @@ def _loss_for_batch(
         masked_image=batch["masked_image"],
         loss_type=loss_type,
         var_type=var_type,
+        mean_type=mean_type,
         use_injection=use_injection,
         injection_schedule=injection_schedule,
         vb_weight=vb_weight,
@@ -102,6 +104,7 @@ def make_train_step(
     *,
     loss_type=gd.LossType.MSE,
     var_type=gd.ModelVarType.LEARNED_RANGE,
+    mean_type=gd.ModelMeanType.EPSILON,
     use_injection: bool = True,
     injection_schedule: str = "all",
     vb_weight: float = 0.0,
@@ -130,7 +133,7 @@ def make_train_step(
                 params = param_transform(params)
             return _loss_for_batch(
                 params, state.apply_fn, sched, batch, key,
-                loss_type=loss_type, var_type=var_type,
+                loss_type=loss_type, var_type=var_type, mean_type=mean_type,
                 use_injection=use_injection,
                 injection_schedule=injection_schedule, vb_weight=vb_weight,
             )
@@ -177,6 +180,7 @@ def make_eval_step(
     *,
     loss_type=gd.LossType.MSE,
     var_type=gd.ModelVarType.LEARNED_RANGE,
+    mean_type=gd.ModelMeanType.EPSILON,
     use_injection: bool = True,
     injection_schedule: str = "all",
     vb_weight: float = 0.0,
@@ -191,7 +195,7 @@ def make_eval_step(
             params = param_transform(params)
         loss, terms = _loss_for_batch(
             params, state.apply_fn, sched, batch, key,
-            loss_type=loss_type, var_type=var_type,
+            loss_type=loss_type, var_type=var_type, mean_type=mean_type,
             use_injection=use_injection,
             injection_schedule=injection_schedule, vb_weight=vb_weight,
         )
