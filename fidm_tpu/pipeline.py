@@ -54,6 +54,9 @@ class PipelineConfig:
     sampler: SamplerConfig = dataclasses.field(
         default_factory=lambda: SAMPLER_PRESETS["ddim-100"]
     )
+    # feed the model float timesteps scaled to [0, 1000) regardless of T —
+    # `GaussianDiffusion._scale_timesteps` (gaussian_diffusion.py:321-324)
+    rescale_timesteps: bool = False
 
 
 def create_model_and_schedule(
@@ -135,8 +138,15 @@ class InpaintingPipeline:
             )
         cache_key = (gt.shape, cfg)
         if cache_key not in self._jitted:
+            t_scale = (
+                1000.0 / self.config.num_timesteps
+                if self.config.rescale_timesteps else None
+            )
+
             def run(variables, gt, mask, key):
                 def apply_fn(x, t, mi, m):
+                    if t_scale is not None:
+                        t = t.astype(jnp.float32) * t_scale
                     return self.model.apply(variables, x, t, mi, m)
 
                 return inpaint_sample(apply_fn, self.sched, cfg,

@@ -82,3 +82,32 @@ def test_pipeline_mesh_sharded_sampling():
     assert out.shape == (8, 16, 16, 3)
     # output sharded over the batch axis
     assert len(out.addressable_shards) == 8
+
+
+def test_rescale_timesteps():
+    """Model sees t scaled to [0,1000) when enabled
+    (gaussian_diffusion.py:321-324)."""
+    import numpy as np
+
+    seen = []
+
+    cfg = dataclasses.replace(TINY, num_timesteps=50, rescale_timesteps=True,
+                              sampler=dataclasses.replace(TINY.sampler,
+                                                          num_steps=5))
+    pipe = InpaintingPipeline.create(cfg)
+    orig_apply = pipe.model.apply
+
+    def spy_apply(variables, x, t, mi, m):
+        seen.append(t)
+        return orig_apply(variables, x, t, mi, m)
+
+    pipe.model = type(pipe.model)(pipe.model.config)
+    pipe.model.apply = spy_apply  # type: ignore[method-assign]
+    gt = jnp.zeros((1, 16, 16, 3))
+    mask = jnp.ones((1, 16, 16, 1))
+    with jax.disable_jit():
+        pipe.inpaint(gt, mask, jax.random.PRNGKey(0))
+    ts = [float(np.asarray(t)[0]) for t in seen]
+    # T=50 -> scale 20: all fed timesteps are multiples of 20 in [0, 1000)
+    assert all(t % 20.0 == 0 and t < 1000 for t in ts), ts
+    assert max(ts) > 900  # first step near T-1 scaled up

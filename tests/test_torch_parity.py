@@ -165,6 +165,25 @@ def test_unet_parity_plain_updown_two_resblocks():
     np.testing.assert_allclose(out_f, out_t, atol=2e-4, rtol=1e-3)
 
 
+def test_load_torch_checkpoint_file(tmp_path):
+    """File-level loading incl. the training-dict container sniffing
+    (`train_inpainting.py:230-238`)."""
+    from fidm_tpu.models.torch_import import load_torch_checkpoint
+
+    tm = _torch_model(CFG)
+    path = tmp_path / "ckpt.pt"
+    # wrapped in a training dict, as the reference saves it
+    torch.save({"epoch": 3, "model_state_dict": tm.state_dict()}, path)
+    cfg9 = __import__("dataclasses").replace(CFG, in_channels=9)
+    variables = load_torch_checkpoint(str(path), cfg9)
+    kernel = variables["params"]["base"]["in_0_conv"]["kernel"]
+    assert kernel.shape == (3, 3, 9, 32)
+    # raw state_dict also accepted
+    torch.save(tm.state_dict(), path)
+    variables2 = load_torch_checkpoint(str(path), cfg9, wrap_base=False)
+    assert "in_0_conv" in variables2["params"]
+
+
 def test_diffusion_math_parity_with_torch_reference():
     """GaussianDiffusion q/p math vs the reference class on random tensors."""
     from gaussian_diffusion import GaussianDiffusion
