@@ -37,6 +37,8 @@ def main():
                               injection=True),
     )
     pipe = InpaintingPipeline.create(cfg)
+    if os.environ.get("FIDM_BENCH_BF16_PARAMS") == "1":
+        pipe.cast_params(jnp.bfloat16)
 
     S = cfg.unet.image_size
     rng = np.random.default_rng(0)

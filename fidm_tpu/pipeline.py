@@ -122,6 +122,19 @@ class InpaintingPipeline:
         )
         return cls(model, variables, sched, config, mesh=mesh)
 
+    def cast_params(self, dtype=jnp.bfloat16):
+        """Cast float params to `dtype` for inference (halves weight HBM
+        traffic; normalization statistics still run in fp32). Clears the jit
+        cache."""
+        self.variables = jax.tree_util.tree_map(
+            lambda x: x.astype(dtype)
+            if hasattr(x, "dtype") and jnp.issubdtype(x.dtype, jnp.floating)
+            else x,
+            self.variables,
+        )
+        self._jitted.clear()
+        return self
+
     def _apply_fn(self):
         def apply_fn(x, t, masked_image, mask):
             return self.model.apply(self.variables, x, t, masked_image, mask)

@@ -77,6 +77,40 @@ def test_train_cli_one_epoch(data_tree, tmp_path):
     assert "base" in params
 
 
+def test_evaluate_cli_int8_quantize(data_tree, tmp_path):
+    from fidm_tpu.cli.evaluate import main
+
+    img_dir, mask_dir = data_tree
+    results = main([
+        "--data_dir", img_dir, "--mask_dir", mask_dir,
+        "--output_dir", str(tmp_path / "q"), "--quick_test",
+        "--diffusion_steps", "100", "--quantize", "int8",
+        "--no_save_images", *TINY_MODEL,
+    ])
+    assert np.isfinite(results["ssim_mean"])
+
+
+def test_train_then_evaluate_orbax_roundtrip(data_tree, tmp_path):
+    """Train one epoch -> evaluate from the Orbax checkpoint dir."""
+    from fidm_tpu.cli.evaluate import main as eval_main
+    from fidm_tpu.cli.train import main as train_main
+
+    img_dir, mask_dir = data_tree
+    ckpt_dir = str(tmp_path / "ckpt2")
+    train_main([
+        "--train_dir", img_dir, "--val_dir", img_dir, "--mask_dir", mask_dir,
+        "--checkpoint_dir", ckpt_dir, "--batch_size", "2",
+        "--num_epochs", "1", "--diffusion_steps", "50", *TINY_MODEL,
+    ])
+    results = eval_main([
+        "--data_dir", img_dir, "--mask_dir", mask_dir,
+        "--output_dir", str(tmp_path / "eval2"), "--quick_test",
+        "--diffusion_steps", "50", "--checkpoint", ckpt_dir,
+        "--no_save_images", *TINY_MODEL,
+    ])
+    assert np.isfinite(results["ssim_mean"])
+
+
 def test_visualize_noise_cli(tmp_path):
     from fidm_tpu.cli.visualize_noise import main
 
