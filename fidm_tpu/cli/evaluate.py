@@ -220,7 +220,14 @@ def main(argv=None):
         "ssim_mean": float(np.mean(ssims)),
         "psnr_mean": float(np.mean(psnrs)),
         "fid_proxy": float(fid_proxy),
+        # includes the first (compile) batch — the reference harness times
+        # the same way (test_inpainting_better.py:732-739)
         "time_per_sample_s": timer.mean / args.batch_size,
+        # steady-state throughput, excluding the compile batch
+        "time_per_sample_steady_s": (
+            float(np.mean(timer.times[1:])) / args.batch_size
+            if len(timer.times) > 1 else timer.mean / args.batch_size
+        ),
         "backend": jax.default_backend(),
     }
     if lpips_vals:
