@@ -32,6 +32,10 @@ __all__ = [
 SAMPLER_PRESETS = {
     # tes_ddpm.py: DDPM-1000 with injection
     "ddpm-1000": SamplerConfig(method="ddpm", num_steps=None, injection=True),
+    # SpacedDiffusion-style respaced DDPM (Improved-DDPM standard; the
+    # reference has no DDPM respacing at all)
+    "ddpm-250": SamplerConfig(method="ddpm", num_steps=250, injection=True),
+    "ddpm-100": SamplerConfig(method="ddpm", num_steps=100, injection=True),
     # test_ddim_30_cos.py defaults: 30 steps, eta 0.9
     "ddim-30": SamplerConfig(method="ddim", num_steps=30, eta=0.9, injection=True),
     # test_inp_ddim_100.py defaults (50 steps, eta 0.75 despite the name)

@@ -120,16 +120,47 @@ def _ddim_tables(sched: DiffusionSchedule, cfg: SamplerConfig):
 
 
 def _ddpm_tables(sched: DiffusionSchedule, cfg: SamplerConfig):
-    """Per-step tables for the full-T ancestral loop with injection.
+    """Per-step tables for the (optionally respaced) ancestral loop.
 
-    Injection after the update uses level alpha_cumprod[t-1]
+    With num_steps < T this is SpacedDiffusion-style DDPM respacing
+    (Improved-DDPM): the retained timesteps define a new chain with
+    beta'_k = 1 - acp[t_k]/acp[t_{k-1}], and the posterior/variance tables
+    are recomputed for that chain — a capability the reference lacks
+    entirely (its library loops always iterate all T,
+    `gaussian_diffusion.py:429,522`).
+
+    Injection after the update uses the previous retained level
     (`test_inpainting_better.py:456-474`).
     """
     T = sched.num_timesteps
-    seq = np.arange(T)[::-1]
+    if cfg.timesteps is not None:
+        seq = np.asarray(cfg.timesteps, dtype=np.int64)
+        assert (np.diff(seq) < 0).all(), "timesteps must be descending"
+    elif cfg.num_steps is not None and cfg.num_steps < T:
+        seq = ddim_timestep_sequence(T, cfg.num_steps)
+    else:
+        seq = np.arange(T)[::-1]
     acp = host_alphas_cumprod(sched)
-    a_inj = np.append(acp[seq[1:]], 1.0)  # acp[t-1]; unused at t=0
+
+    # respaced chain quantities (equal the originals when seq == arange)
+    a_cur = acp[seq]                      # alpha-bar at each retained step
+    a_prev = np.append(acp[seq[1:]], 1.0)  # previous retained level
+    betas_r = 1.0 - a_cur / a_prev
+    post_var = betas_r * (1.0 - a_prev) / (1.0 - a_cur)
+    # log-variance clipped like gaussian_diffusion.py:72-74 (first entry
+    # replaced by the next one to avoid log(0))
+    post_var_for_log = post_var.copy()
+    if len(post_var_for_log) > 1:
+        post_var_for_log[-1] = post_var_for_log[-2]  # last step ~ t=0
+    post_logvar = np.log(np.maximum(post_var_for_log, 1e-20))
+    a_inj = a_prev
     return {
+        "post_coef1": betas_r * np.sqrt(a_prev) / (1.0 - a_cur),
+        "post_coef2": (1.0 - a_prev) * np.sqrt(1.0 - betas_r) / (1.0 - a_cur),
+        "post_logvar": post_logvar,
+        "log_beta": np.log(np.maximum(betas_r, 1e-20)),
+        "sqrt_a_t": np.sqrt(a_cur),
+        "sqrt_one_minus_a_t": np.sqrt(1.0 - a_cur),
         "t": seq.astype(np.int32),
         "noise_gate": (seq > 0).astype(np.float64),
         "inject_gate": (seq > 0).astype(np.float64)
@@ -140,7 +171,7 @@ def _ddpm_tables(sched: DiffusionSchedule, cfg: SamplerConfig):
         "pre_inject_gate": _injection_gate(seq, cfg.injection_schedule, T),
         "pre_inject_sqrt_a": np.sqrt(acp[seq]),
         "pre_inject_sqrt_1ma": np.sqrt(1 - acp[seq]),
-        "step": np.arange(T, dtype=np.int32),
+        "step": np.arange(len(seq), dtype=np.int32),
     }
 
 
@@ -169,6 +200,36 @@ def _x0_eps_from_raw(raw, x, s, cfg: SamplerConfig):
         raise NotImplementedError(cfg.mean_type)
     eps = (x - s["sqrt_a_t"] * pred_x0) / s["sqrt_one_minus_a_t"]
     return pred_x0, eps
+
+
+def _ddpm_mean_logvar(out, x, s, cfg: SamplerConfig):
+    """Posterior mean and log-variance from the model output, using the
+    (possibly respaced) per-step tables — the in-scan equivalent of
+    `p_mean_variance` (gaussian_diffusion.py:213-298)."""
+    raw, var_values = gd.split_model_output(out, cfg.var_type)
+    if cfg.mean_type == gd.ModelMeanType.PREVIOUS_X:
+        # model predicts x_{t-1} directly (gaussian_diffusion.py:274-278)
+        mean = raw
+        return mean, _ddpm_logvar(var_values, x, s, cfg)
+    pred_x0, _ = _x0_eps_from_raw(raw, x, s, cfg)
+    if cfg.clip_denoised:
+        pred_x0 = jnp.clip(pred_x0, -1.0, 1.0)
+    mean = s["post_coef1"] * pred_x0 + s["post_coef2"] * x
+    return mean, _ddpm_logvar(var_values, x, s, cfg)
+
+
+def _ddpm_logvar(var_values, x, s, cfg: SamplerConfig):
+    if cfg.var_type == gd.ModelVarType.LEARNED_RANGE:
+        frac = (var_values + 1.0) / 2.0
+        return frac * s["log_beta"] + (1.0 - frac) * s["post_logvar"]
+    if cfg.var_type == gd.ModelVarType.LEARNED:
+        return var_values
+    if cfg.var_type == gd.ModelVarType.FIXED_LARGE:
+        # variance beta_t (the t=0 entry differs in the reference but is
+        # multiplied by a zero noise gate there)
+        return jnp.broadcast_to(s["log_beta"], x.shape)
+    # FIXED_SMALL
+    return jnp.broadcast_to(s["post_logvar"], x.shape)
 
 
 def _gt_noise(inject_key, timestep, shape, dtype):
@@ -262,15 +323,11 @@ def inpaint_sample(
             t_full = jnp.full((B,), s["t"], jnp.int32)
             x = _maybe_pre_inject(x, s, gt, keep, inject_key, pre)
             out = apply_fn(x, t_full, masked_image, mask)
-            pmv = gd.p_mean_variance(
-                sched, out, x, t_full,
-                mean_type=cfg.mean_type, var_type=cfg.var_type,
-                clip_denoised=cfg.clip_denoised,
-            )
+            mean, logvar = _ddpm_mean_logvar(out, x, s, cfg)
             noise = jax.random.normal(
                 jax.random.fold_in(step_key, s["step"]), x.shape, x.dtype
             )
-            x = pmv.mean + s["noise_gate"] * jnp.exp(0.5 * pmv.log_variance) * noise
+            x = mean + s["noise_gate"] * jnp.exp(0.5 * logvar) * noise
             x = _maybe_post_inject(x, s, gt, keep, inject_key, post)
             return x, None
 
@@ -333,15 +390,11 @@ def sample(
         def body(x, s):
             t_full = jnp.full((B,), s["t"], jnp.int32)
             out = apply_fn(x, t_full)
-            pmv = gd.p_mean_variance(
-                sched, out, x, t_full,
-                mean_type=cfg.mean_type, var_type=cfg.var_type,
-                clip_denoised=cfg.clip_denoised,
-            )
+            mean, logvar = _ddpm_mean_logvar(out, x, s, cfg)
             noise = jax.random.normal(
                 jax.random.fold_in(step_key, s["step"]), x.shape, x.dtype
             )
-            x = pmv.mean + s["noise_gate"] * jnp.exp(0.5 * pmv.log_variance) * noise
+            x = mean + s["noise_gate"] * jnp.exp(0.5 * logvar) * noise
             return x, None
 
         x, _ = jax.lax.scan(body, x, xs)

@@ -187,3 +187,76 @@ def test_jit_compiles_whole_loop():
 
     out = run(jax.random.PRNGKey(0))
     assert out.shape == SHAPE
+
+
+def test_respaced_ddpm_matches_numpy_oracle():
+    """SpacedDiffusion-style DDPM-K: jax scan output == float64 numpy loop
+    over the respaced chain (a capability the reference lacks). The model
+    emits a huge negative LEARNED log-variance so the ancestral noise term
+    vanishes and the mean path is exactly comparable."""
+    from fidm_tpu.diffusion import ModelVarType
+    from fidm_tpu.diffusion.schedules import ddim_timestep_sequence
+
+    K = 10
+    acp = _acp64()
+    seq = ddim_timestep_sequence(T, K)
+
+    x_init = np.random.default_rng(3).standard_normal((2, 8, 8, 3)).astype(
+        np.float32
+    )
+    x = x_init.astype(np.float64)
+    for i, t in enumerate(seq):
+        a_cur = acp[t]
+        a_prev = acp[seq[i + 1]] if i < len(seq) - 1 else 1.0
+        beta_r = 1 - a_cur / a_prev
+        eps = 0.3 * x + 0.05 * (t / T)
+        x0 = np.clip((x - np.sqrt(1 - a_cur) * eps) / np.sqrt(a_cur), -1, 1)
+        c1 = beta_r * np.sqrt(a_prev) / (1 - a_cur)
+        c2 = (1 - a_prev) * np.sqrt(1 - beta_r) / (1 - a_cur)
+        x = c1 * x0 + c2 * x  # noise term suppressed (logvar -> -inf)
+
+    def apply_fn(xx, t, mi, m):
+        tt = t[:, None, None, None] / T
+        eps = 0.3 * xx + 0.05 * tt
+        return jnp.concatenate([eps, jnp.full_like(eps, -60.0)], axis=-1)
+
+    cfg = SamplerConfig(method="ddpm", num_steps=K, injection=False,
+                        final_blend=False, var_type=ModelVarType.LEARNED)
+    out = inpaint_sample(apply_fn, SCHED, cfg, gt=jnp.zeros((2, 8, 8, 3)),
+                         mask=jnp.ones((2, 8, 8, 1)),
+                         key=jax.random.PRNGKey(0),
+                         x_init=jnp.asarray(x_init))
+    np.testing.assert_allclose(np.asarray(out, np.float64), x, atol=5e-4)
+
+
+def test_respaced_ddpm_full_T_matches_plain():
+    """num_steps=T must reproduce the unrespaced chain exactly."""
+    def apply_fn(x, t, mi, m):
+        eps = 0.1 * x
+        return jnp.concatenate([eps, jnp.zeros_like(eps)], axis=-1)
+
+    gt = jnp.zeros(SHAPE)
+    mask = jnp.ones(SHAPE[:-1] + (1,))
+    a = inpaint_sample(apply_fn, SCHED,
+                       SamplerConfig(method="ddpm", num_steps=None,
+                                     injection=False, final_blend=False),
+                       gt=gt, mask=mask, key=jax.random.PRNGKey(0))
+    b = inpaint_sample(apply_fn, SCHED,
+                       SamplerConfig(method="ddpm", num_steps=T,
+                                     injection=False, final_blend=False),
+                       gt=gt, mask=mask, key=jax.random.PRNGKey(0))
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_respaced_ddpm_k_steps_runs_model_k_times():
+    calls = []
+
+    def apply_fn(x, t, mi, m):
+        calls.append(1)
+        return jnp.concatenate([jnp.zeros_like(x)] * 2, axis=-1)
+
+    cfg = SamplerConfig(method="ddpm", num_steps=10, injection=True)
+    with jax.disable_jit():
+        inpaint_sample(apply_fn, SCHED, cfg, gt=jnp.zeros((1, 8, 8, 3)),
+                       mask=jnp.ones((1, 8, 8, 1)), key=jax.random.PRNGKey(0))
+    assert len(calls) == 11  # ddim_timestep_sequence(50, 10) appends T-1
