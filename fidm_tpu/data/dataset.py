@@ -19,7 +19,6 @@ the reference emits (`data/dataset.py:144-150`), but channel-last.
 """
 from __future__ import annotations
 
-import os
 from pathlib import Path
 from typing import Dict, Iterator, List, Optional, Sequence
 

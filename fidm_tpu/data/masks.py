@@ -14,7 +14,7 @@ Masks are float32 [H, W, 1] (NHWC), 1 = hole.
 """
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Tuple
 
 import numpy as np
 

@@ -17,7 +17,7 @@ convention of `data/dataset.py:136-142`.
 from __future__ import annotations
 
 import enum
-from typing import NamedTuple, Optional
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp

@@ -13,7 +13,6 @@ inside one XLA program — no host round-trips per step.
 from __future__ import annotations
 
 import math
-from functools import partial
 
 import jax.numpy as jnp
 import numpy as np

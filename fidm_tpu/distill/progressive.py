@@ -16,7 +16,7 @@ boundaries[2j] -> boundaries[2j+2] via the teacher midpoint boundaries[2j+1].
 """
 from __future__ import annotations
 
-from typing import Callable, Optional
+from typing import Callable
 
 import jax
 import jax.numpy as jnp

@@ -19,9 +19,8 @@ variance).
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional, Sequence, Tuple
+from typing import Optional, Tuple
 
-import jax
 import jax.numpy as jnp
 from flax import linen as nn
 

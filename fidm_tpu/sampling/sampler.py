@@ -28,7 +28,6 @@ Both injection placements are supported:
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
 from typing import Callable, Optional
 
 import jax

@@ -15,9 +15,8 @@ from __future__ import annotations
 
 import json
 import os
-from typing import Any, Optional
+from typing import Optional
 
-import jax
 import orbax.checkpoint as ocp
 
 __all__ = ["CheckpointManager"]
@@ -116,8 +115,6 @@ class CheckpointManager:
         """Restore only the model params pytree (for evaluation), without
         needing the optimizer/TrainState structure."""
         if which == "best":
-            import os as _os
-
             state = self._best.restore(os.path.join(self.directory, "best"))
             return state["params"]
         step = self.latest_step() if which == "latest" else int(which)

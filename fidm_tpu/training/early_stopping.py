@@ -6,8 +6,6 @@ restored when stopping triggers.
 """
 from __future__ import annotations
 
-from typing import Optional
-
 import jax
 
 __all__ = ["EarlyStopping"]

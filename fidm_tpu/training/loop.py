@@ -9,8 +9,8 @@ prefetcher so the TPU never waits on PIL.
 from __future__ import annotations
 
 import time
-from dataclasses import dataclass, field
-from typing import Callable, Iterable, Optional
+from dataclasses import dataclass
+from typing import Callable, Optional
 
 import jax
 import numpy as np

@@ -16,11 +16,9 @@ from __future__ import annotations
 from typing import Any, Callable, Optional
 
 import jax
-import jax.numpy as jnp
 import optax
-from flax import struct
 from flax.training import train_state
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh
 
 from ..diffusion import gaussian as gd
 from ..diffusion.losses import training_losses

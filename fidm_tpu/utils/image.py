@@ -7,7 +7,7 @@ and row-major comparison grids [original | masked | mask | inpainted].
 from __future__ import annotations
 
 import os
-from typing import Optional, Sequence
+from typing import Sequence
 
 import numpy as np
 
