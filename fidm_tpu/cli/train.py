@@ -164,7 +164,8 @@ def main(argv=None):
     start_epoch = 0
     if args.resume:
         abstract = jax.tree_util.tree_map(
-            lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), state
+            lambda x: jax.ShapeDtypeStruct(jnp.shape(x), jnp.result_type(x)),
+            state,
         )
         state, meta = ckpt.restore(args.resume, abstract)
         if meta and "epoch" in meta:

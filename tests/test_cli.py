@@ -130,3 +130,19 @@ def test_generate_cli(tmp_path):
           "--diffusion_steps", "50", *TINY_MODEL])
     assert os.path.exists(os.path.join(out, "00000.png"))
     assert os.path.exists(os.path.join(out, "grid.png"))
+
+
+def test_train_cli_resume(data_tree, tmp_path):
+    from fidm_tpu.cli.train import main
+
+    img_dir, mask_dir = data_tree
+    ckpt_dir = str(tmp_path / "ckpt_resume")
+    common = [
+        "--train_dir", img_dir, "--val_dir", img_dir, "--mask_dir", mask_dir,
+        "--checkpoint_dir", ckpt_dir, "--batch_size", "2",
+        "--diffusion_steps", "50", *TINY_MODEL,
+    ]
+    main(["--num_epochs", "1", *common])
+    history = main(["--num_epochs", "2", "--resume", "latest", *common])
+    # resumed from epoch 0 -> runs only epoch 1
+    assert [h["epoch"] for h in history] == [1]

@@ -126,3 +126,27 @@ def test_mask_from_array_threshold():
     gray = np.array([[0.0, 0.4], [0.6, 1.0]], np.float32)
     m = mask_from_array(gray)
     np.testing.assert_array_equal(m[..., 0], [[1, 1], [0, 0]])
+
+
+def test_threaded_loader_yields_all_items():
+    from fidm_tpu.data import ThreadedLoader
+
+    loader = ThreadedLoader(lambda: iter(range(20)), queue_size=3)
+    assert list(loader) == list(range(20))
+    # reusable
+    assert list(loader) == list(range(20))
+
+
+def test_device_prefetch_passthrough():
+    import jax
+
+    from fidm_tpu.data import device_prefetch
+
+    batches = [{"image": np.ones((2, 4, 4, 3), np.float32) * i,
+                "paths": [f"p{i}"]} for i in range(5)]
+    out = list(device_prefetch(iter(batches), size=2))
+    assert len(out) == 5
+    for i, b in enumerate(out):
+        assert isinstance(b["image"], jax.Array)
+        np.testing.assert_array_equal(np.asarray(b["image"]), batches[i]["image"])
+        assert b["paths"] == [f"p{i}"]
