@@ -25,6 +25,8 @@ import numpy as np
 
 def parse_args(argv=None):
     p = argparse.ArgumentParser(description="Batched inpainting evaluation")
+    p.add_argument("--config", default=None,
+                   help="JSON file of argument defaults (CLI flags override)")
     p.add_argument("--data_dir", required=True, help="test images directory")
     p.add_argument("--mask_dir", required=True,
                    help="mask root (with test/ subdir) or flat mask dir")
@@ -68,6 +70,12 @@ def parse_args(argv=None):
                    help="path to torchvision AlexNet .pth for real LPIPS")
     p.add_argument("--lpips_lin", default=None,
                    help="path to lpips linear-head .pt")
+    args, _ = p.parse_known_args(argv)
+    if args.config:
+        import json as _json
+
+        with open(args.config) as f:
+            p.set_defaults(**_json.load(f))
     return p.parse_args(argv)
 
 

@@ -20,6 +20,8 @@ import jax.numpy as jnp
 
 def parse_args(argv=None):
     p = argparse.ArgumentParser(description="Fine-tune the inpainting UNet")
+    p.add_argument("--config", default=None,
+                   help="JSON file of argument defaults (CLI flags override)")
     p.add_argument("--train_dir", required=True)
     p.add_argument("--val_dir", required=True)
     p.add_argument("--mask_dir", required=True)
@@ -64,6 +66,12 @@ def parse_args(argv=None):
                    help="fsdp axis size (1 = pure data parallel)")
     p.add_argument("--ema_decay", type=float, default=0.0,
                    help=">0 maintains an EMA of the params (e.g. 0.9999)")
+    args, _ = p.parse_known_args(argv)
+    if args.config:
+        import json as _json
+
+        with open(args.config) as f:
+            p.set_defaults(**_json.load(f))
     return p.parse_args(argv)
 
 

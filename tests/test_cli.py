@@ -146,3 +146,21 @@ def test_train_cli_resume(data_tree, tmp_path):
     history = main(["--num_epochs", "2", "--resume", "latest", *common])
     # resumed from epoch 0 -> runs only epoch 1
     assert [h["epoch"] for h in history] == [1]
+
+
+def test_config_file_defaults(data_tree, tmp_path):
+    import json as json_mod
+
+    from fidm_tpu.cli.evaluate import parse_args
+
+    cfg_path = tmp_path / "cfg.json"
+    cfg_path.write_text(json_mod.dumps(
+        {"preset": "ddim-30", "batch_size": 2, "image_size": 32}
+    ))
+    args = parse_args(["--data_dir", "d", "--mask_dir", "m",
+                       "--config", str(cfg_path)])
+    assert args.preset == "ddim-30" and args.batch_size == 2
+    # explicit flags override the config file
+    args = parse_args(["--data_dir", "d", "--mask_dir", "m",
+                       "--config", str(cfg_path), "--batch_size", "4"])
+    assert args.batch_size == 4 and args.preset == "ddim-30"
