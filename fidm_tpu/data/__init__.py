@@ -8,3 +8,4 @@ from .dataset import (
 )
 from .masks import load_mask, mask_from_array, random_mask
 from .prefetch import ThreadedLoader, device_prefetch
+from .shards import ShardReader, is_packed_dir, pack_dataset

@@ -58,39 +58,45 @@ def load_image(path, size: int) -> np.ndarray:
     return arr * 2.0 - 1.0
 
 
-def _decode_normalize_compose(path, mask: np.ndarray, size: int):
-    """(image, masked_image) via the C++ fused normalize+compose kernel
-    (native/maskgen.cpp) when built; numpy fallback otherwise."""
+def _normalize_compose(u8: np.ndarray, mask: np.ndarray):
+    """uint8 HWC -> ([-1,1] image, masked_image) via the C++ fused
+    normalize+compose kernel (native/maskgen.cpp) when built; numpy
+    fallback otherwise."""
     from ..native.build import load as load_native
 
     lib = load_native()
     if lib is None:
-        image = load_image(path, size)
+        image = u8.astype(np.float32) / 255.0 * 2.0 - 1.0
         return image, image * (1.0 - mask)
 
     import ctypes
 
-    from PIL import Image
-
-    u8 = np.ascontiguousarray(
-        np.asarray(
-            Image.open(path).convert("RGB").resize((size, size),
-                                                   Image.BILINEAR),
-            np.uint8,
-        )
-    )
+    size_h, size_w = u8.shape[:2]
+    u8 = np.ascontiguousarray(u8)
     m = np.ascontiguousarray(mask[..., 0], np.float32)
-    image = np.empty((size, size, 3), np.float32)
-    masked = np.empty((size, size, 3), np.float32)
+    image = np.empty((size_h, size_w, 3), np.float32)
+    masked = np.empty((size_h, size_w, 3), np.float32)
     f32p = ctypes.POINTER(ctypes.c_float)
     lib.fidm_normalize_compose(
         u8.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
         m.ctypes.data_as(f32p),
         image.ctypes.data_as(f32p),
         masked.ctypes.data_as(f32p),
-        size, size,
+        size_h, size_w,
     )
     return image, masked
+
+
+def _decode_normalize_compose(path, mask: np.ndarray, size: int):
+    """(image, masked_image) from an image file: PIL decode+resize, then the
+    fused normalize/compose kernel."""
+    from PIL import Image
+
+    u8 = np.asarray(
+        Image.open(path).convert("RGB").resize((size, size), Image.BILINEAR),
+        np.uint8,
+    )
+    return _normalize_compose(u8, mask)
 
 
 class InpaintingDataset:
@@ -115,7 +121,16 @@ class InpaintingDataset:
         self.seed = seed
         self.coverage = coverage
         self.invert_mask = invert_mask
-        self.images = list_images(data_dir)
+        from .shards import ShardReader, is_packed_dir
+
+        self.reader = None
+        if is_packed_dir(data_dir):
+            # packed uint8 shard dir (fidm_tpu.cli.pack_data) — memmap reads
+            # instead of per-item JPEG decode
+            self.reader = ShardReader(data_dir)
+            self.images = [Path(p) for p in self.reader.paths]
+        else:
+            self.images = list_images(data_dir)
         if not self.images:
             raise ValueError(f"No images found in {data_dir}")
 
@@ -171,9 +186,14 @@ class InpaintingDataset:
                 (self.img_size, self.img_size), Image.BILINEAR
             )
             mask = (np.asarray(m, np.float32) / 255.0)[..., None]
-        image, masked_image = _decode_normalize_compose(
-            img_path, mask, self.img_size
-        )
+        if self.reader is not None:
+            image, masked_image = _normalize_compose(
+                self.reader.get(idx, self.img_size), mask
+            )
+        else:
+            image, masked_image = _decode_normalize_compose(
+                img_path, mask, self.img_size
+            )
         return {
             "image": image,
             "masked_image": masked_image,

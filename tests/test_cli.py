@@ -164,3 +164,45 @@ def test_config_file_defaults(data_tree, tmp_path):
     args = parse_args(["--data_dir", "d", "--mask_dir", "m",
                        "--config", str(cfg_path), "--batch_size", "4"])
     assert args.batch_size == 4 and args.preset == "ddim-30"
+
+
+def test_export_torch_cli_roundtrip(data_tree, tmp_path):
+    """Train one epoch -> export the Orbax checkpoint to torch .pt -> reimport
+    with our own converter and verify the params tree round-trips."""
+    import jax
+    import torch
+
+    from fidm_tpu.cli.export_torch import main as export_main
+    from fidm_tpu.cli.train import main as train_main
+    from fidm_tpu.models import ffhq256_config
+    from fidm_tpu.models.torch_import import load_torch_checkpoint
+    from fidm_tpu.training import CheckpointManager
+
+    img_dir, mask_dir = data_tree
+    ckpt_dir = str(tmp_path / "ckpt_exp")
+    train_main([
+        "--train_dir", img_dir, "--val_dir", img_dir, "--mask_dir", mask_dir,
+        "--checkpoint_dir", ckpt_dir, "--batch_size", "2",
+        "--num_epochs", "1", "--diffusion_steps", "50", *TINY_MODEL,
+    ])
+    out_pt = str(tmp_path / "export.pt")
+    report = export_main([
+        "--checkpoint", ckpt_dir, "--out", out_pt, *TINY_MODEL,
+    ])
+    assert report["bytes"] > 0 and os.path.exists(out_pt)
+
+    sd = torch.load(out_pt, map_location="cpu")
+    assert all(hasattr(v, "numpy") for v in sd.values())
+
+    cfg = ffhq256_config(image_size=32, model_channels=32,
+                         channel_mult=(1, 2), num_heads=2,
+                         num_head_channels=16, attention_resolutions=(2,))
+    again = load_torch_checkpoint(out_pt, cfg)["params"]
+    which = "best" if os.path.isdir(os.path.join(ckpt_dir, "best")) else "latest"
+    orig = CheckpointManager(ckpt_dir).restore_params(which)
+    a = jax.tree_util.tree_leaves(orig)
+    b = jax.tree_util.tree_leaves(again)
+    assert len(a) == len(b)
+    for x, y in zip(a, b):
+        np.testing.assert_allclose(np.asarray(x, np.float32),
+                                   np.asarray(y, np.float32), atol=1e-6)

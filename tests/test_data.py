@@ -150,3 +150,60 @@ def test_device_prefetch_passthrough():
         assert isinstance(b["image"], jax.Array)
         np.testing.assert_array_equal(np.asarray(b["image"]), batches[i]["image"])
         assert b["paths"] == [f"p{i}"]
+
+
+def test_pack_and_packed_dataset_matches_pil_path(data_tree, tmp_path):
+    """Packed-shard items are identical to the PIL-decode items (same
+    bilinear resize, same normalize/compose kernel)."""
+    from fidm_tpu.data import ShardReader, is_packed_dir, pack_dataset
+
+    img_dir, mask_dir = data_tree
+    packed = tmp_path / "packed"
+    index = pack_dataset(img_dir, packed, img_size=32, shard_size=3)
+    assert index["num_images"] == 7
+    assert len(index["shards"]) == 3  # 3+3+1
+    assert is_packed_dir(packed)
+
+    reader = ShardReader(packed)
+    assert len(reader) == 7 and reader.nbytes() > 0
+
+    ds_pil = InpaintingDataset(img_dir, mask_dir, "train", 32, "serial")
+    ds_pack = InpaintingDataset(packed, mask_dir, "train", 32, "serial")
+    assert ds_pack.reader is not None and ds_pil.reader is None
+    assert len(ds_pil) == len(ds_pack)
+    for i in (0, 3, 6):
+        a, b = ds_pil[i], ds_pack[i]
+        np.testing.assert_array_equal(a["image"], b["image"])
+        np.testing.assert_array_equal(a["masked_image"], b["masked_image"])
+        np.testing.assert_array_equal(a["mask"], b["mask"])
+        assert a["mask_path"] == b["mask_path"]
+
+
+def test_packed_dataset_resizes_when_sizes_differ(data_tree, tmp_path):
+    from fidm_tpu.data import pack_dataset
+
+    img_dir, mask_dir = data_tree
+    packed = tmp_path / "packed32"
+    pack_dataset(img_dir, packed, img_size=32)
+    ds16 = InpaintingDataset(packed, mask_dir, "train", 16, "serial")
+    item = ds16[0]
+    assert item["image"].shape == (16, 16, 3)
+    assert np.isfinite(item["image"]).all()
+
+
+def test_pack_data_cli(data_tree, tmp_path):
+    from fidm_tpu.cli.pack_data import main
+
+    img_dir, _ = data_tree
+    out = str(tmp_path / "packed_cli")
+    report = main(["--data_dir", str(img_dir), "--out", out,
+                   "--image_size", "32", "--shard_size", "4"])
+    assert report["num_images"] == 7
+    assert report["num_shards"] == 2
+    # loaders work straight off the packed dir
+    loader = DataLoader(
+        InpaintingDataset(out, mask_mode="procedural", img_size=32),
+        batch_size=4,
+    )
+    batches = list(loader)
+    assert batches[0]["image"].shape == (4, 32, 32, 3)

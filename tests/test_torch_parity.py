@@ -248,3 +248,55 @@ def test_diffusion_math_parity_with_torch_reference():
         ref_out["pred_xstart"].numpy().transpose(0, 2, 3, 1),
         atol=1e-4,
     )
+
+
+def test_export_round_trip_state_dict():
+    """flax -> torch export is the exact inverse of the import converter:
+    every tensor round-trips bit-identically, and the exported dict loads
+    into the reference torch UNet with strict=True."""
+    from fidm_tpu.models.torch_import import export_state_dict
+
+    tm = _torch_model(CFG)
+    with torch.no_grad():
+        for p in tm.parameters():
+            p.copy_(torch.randn_like(p) * 0.05)
+
+    sd = {k: v.detach().numpy() for k, v in tm.state_dict().items()}
+    params = convert_state_dict(sd, CFG)
+    back = export_state_dict(params, CFG)
+
+    assert set(back) == set(sd)
+    for k in sd:
+        np.testing.assert_array_equal(back[k], sd[k], err_msg=k)
+
+    missing, unexpected = tm.load_state_dict(
+        {k: torch.from_numpy(v) for k, v in back.items()}, strict=True
+    )
+    assert not missing and not unexpected
+
+
+def test_save_torch_checkpoint_loads_in_reference(tmp_path):
+    """A fine-tuned-on-TPU params tree written by save_torch_checkpoint is
+    loadable by the reference's plain `torch.load` + load_state_dict path
+    (`train_inpainting.py:227-242` layout)."""
+    from fidm_tpu.models.torch_import import (load_torch_checkpoint,
+                                              save_torch_checkpoint)
+
+    tm = _torch_model(CFG)
+    with torch.no_grad():
+        for p in tm.parameters():
+            p.copy_(torch.randn_like(p) * 0.05)
+    sd = {k: v.detach().numpy() for k, v in tm.state_dict().items()}
+    params = {"params": {"base": convert_state_dict(sd, CFG)}}
+
+    path = str(tmp_path / "export.pt")
+    save_torch_checkpoint(path, params, CFG)
+    tm.load_state_dict(torch.load(path, map_location="cpu"), strict=True)
+
+    # and our own loader reads it back identically
+    again = load_torch_checkpoint(path, CFG, wrap_base=True)
+    flat_a = jax.tree_util.tree_leaves(params)
+    flat_b = jax.tree_util.tree_leaves(again)
+    assert len(flat_a) == len(flat_b)
+    for a, b in zip(flat_a, flat_b):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
