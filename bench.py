@@ -7,8 +7,8 @@ vs_baseline is the speedup over the reference's DDIM-100 time/sample of
 3.42 s (BASELINE.md, reference README.md:76). Weights are random-initialized
 (throughput is architecture+steps dependent, not weight dependent).
 
-Env overrides: FIDM_BENCH_BATCH (default 8), FIDM_BENCH_REPEATS (default 3),
-FIDM_BENCH_STEPS (default 100).
+Env overrides: FIDM_BENCH_BATCH (default 16), FIDM_BENCH_REPEATS (default 3),
+FIDM_BENCH_STEPS (default 100), FIDM_BENCH_METHOD (ddim | ddpm).
 """
 import json
 import os
@@ -21,7 +21,14 @@ import numpy as np
 jax.config.update("jax_compilation_cache_dir", "/tmp/fidm_jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
 
-BASELINE_TIME_PER_SAMPLE = 3.42  # s, reference DDIM-100 (README.md:76)
+# Reference time/sample for each published config (BASELINE.md; reference
+# README.md:75-77). Other (method, steps) combos fall back to DDIM-100.
+BASELINES = {
+    ("ddim", 100): 3.42,
+    ("ddim", 50): 1.75,
+    ("ddpm", 1000): 33.41,
+}
+BASELINE_TIME_PER_SAMPLE = BASELINES[("ddim", 100)]
 
 
 def main():
@@ -31,10 +38,15 @@ def main():
     batch = int(os.environ.get("FIDM_BENCH_BATCH", "16"))
     repeats = int(os.environ.get("FIDM_BENCH_REPEATS", "3"))
     steps = int(os.environ.get("FIDM_BENCH_STEPS", "100"))
+    method = os.environ.get("FIDM_BENCH_METHOD", "ddim")
+    baseline = BASELINES.get((method, steps), BASELINE_TIME_PER_SAMPLE)
 
     cfg = PipelineConfig(
-        sampler=SamplerConfig(method="ddim", num_steps=steps, eta=0.9,
-                              injection=True),
+        sampler=SamplerConfig(
+            method=method,
+            num_steps=None if (method == "ddpm" and steps >= 1000) else steps,
+            eta=0.9, injection=True,
+        ),
     )
     pipe = InpaintingPipeline.create(cfg)
     if os.environ.get("FIDM_BENCH_BF16_PARAMS") == "1":
@@ -70,10 +82,10 @@ def main():
     time_per_sample = dt / (repeats * batch)
     imgs_per_sec = 1.0 / time_per_sample
     result = {
-        "metric": f"256^2 inpainted images/sec/chip (DDIM-{steps})",
+        "metric": f"256^2 inpainted images/sec/chip ({method.upper()}-{steps})",
         "value": round(imgs_per_sec, 4),
         "unit": "img/s",
-        "vs_baseline": round(BASELINE_TIME_PER_SAMPLE / time_per_sample, 3),
+        "vs_baseline": round(baseline / time_per_sample, 3),
         "time_per_sample_s": round(time_per_sample, 4),
         "batch": batch,
         "backend": jax.default_backend(),
