@@ -2,7 +2,6 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
-import pytest
 
 from fidm_tpu.ops.attention import (
     _attention_pallas,

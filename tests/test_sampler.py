@@ -6,7 +6,6 @@ eval-loop algorithm (`test_inpainting_better.py:478-586`) as an oracle.
 import jax
 import jax.numpy as jnp
 import numpy as np
-import pytest
 
 from fidm_tpu.diffusion import DiffusionSchedule, ddim_timestep_sequence
 from fidm_tpu.diffusion.schedules import get_named_beta_schedule
