@@ -8,7 +8,8 @@ vs_baseline is the speedup over the reference's DDIM-100 time/sample of
 (throughput is architecture+steps dependent, not weight dependent).
 
 Env overrides: FIDM_BENCH_BATCH (default 16), FIDM_BENCH_REPEATS (default 3),
-FIDM_BENCH_STEPS (default 100), FIDM_BENCH_METHOD (ddim | ddpm).
+FIDM_BENCH_STEPS (default 100), FIDM_BENCH_METHOD (ddim | ddpm),
+FIDM_BENCH_ENCODER_CACHE (encoder-reuse period; 1 = exact sampling).
 """
 import json
 import os
@@ -39,6 +40,7 @@ def main():
     repeats = int(os.environ.get("FIDM_BENCH_REPEATS", "3"))
     steps = int(os.environ.get("FIDM_BENCH_STEPS", "100"))
     method = os.environ.get("FIDM_BENCH_METHOD", "ddim")
+    enc_cache = int(os.environ.get("FIDM_BENCH_ENCODER_CACHE", "1"))
     baseline = BASELINES.get((method, steps), BASELINE_TIME_PER_SAMPLE)
 
     cfg = PipelineConfig(
@@ -46,6 +48,7 @@ def main():
             method=method,
             num_steps=None if (method == "ddpm" and steps >= 1000) else steps,
             eta=0.9, injection=True,
+            encoder_cache_period=enc_cache,
         ),
     )
     pipe = InpaintingPipeline.create(cfg)
@@ -90,6 +93,8 @@ def main():
         "batch": batch,
         "backend": jax.default_backend(),
     }
+    if enc_cache > 1:
+        result["encoder_cache_period"] = enc_cache
     print(json.dumps(result))
 
 

@@ -58,6 +58,10 @@ def parse_args(argv=None):
     p.add_argument("--injection_schedule", default="all",
                    choices=["all", "high", "low"])
     p.add_argument("--quantize", default="none", choices=["none", "int8"])
+    p.add_argument("--encoder_cache", type=int, default=1,
+                   help="UNet encoder-reuse period (Faster-Diffusion style); "
+                        "run the encoder every k-th step, decoder-only in "
+                        "between. 1 = exact sampling")
     p.add_argument("--dtype", default="bf16", choices=["bf16", "f32"],
                    help="compute dtype (the FP16-inference analogue of "
                         "test_quant.py:393-396; bf16 is TPU-native)")
@@ -104,6 +108,7 @@ def main(argv=None):
         injection=not args.no_injection,
         injection_schedule=args.injection_schedule,
         final_blend=not args.no_blend,
+        encoder_cache_period=args.encoder_cache,
     )
 
     import jax.numpy as jnp

@@ -68,7 +68,16 @@ class UNet(nn.Module):
     config: UNetConfig
 
     @nn.compact
-    def __call__(self, x, timesteps, y=None, *, deterministic: bool = True):
+    def __call__(self, x, timesteps, y=None, *, deterministic: bool = True,
+                 cache=None, return_cache: bool = False):
+        """Forward pass; optionally reusing / emitting encoder features.
+
+        `cache=(h_mid, skips)` skips the encoder+middle stacks entirely and
+        runs only the decoder against the provided features ("Faster
+        Diffusion" / DeepCache-style reuse across adjacent sampler steps —
+        the timestep embedding is still fresh). `return_cache=True` returns
+        `(out, (h_mid, skips))` so a key step can publish its features.
+        """
         cfg = self.config
         assert (y is not None) == (cfg.num_classes is not None)
         dtype = cfg.dtype
@@ -90,52 +99,73 @@ class UNet(nn.Module):
                                  param_dtype=jnp.float32, dtype=dtype,
                                  name="label_emb")(y)
 
-        ch = input_ch = int(cfg.channel_mult[0] * cfg.model_channels)
-        h = nn.Conv(ch, (3, 3), padding=1, dtype=dtype, param_dtype=jnp.float32,
-                    name="in_0_conv")(x.astype(dtype))
-        hs = [h]
-        input_block_chans = [ch]
-        ds = 1
-        idx = 1  # input block index (mirrors reference input_blocks list)
+        if cache is None:
+            ch = int(cfg.channel_mult[0] * cfg.model_channels)
+            h = nn.Conv(ch, (3, 3), padding=1, dtype=dtype,
+                        param_dtype=jnp.float32,
+                        name="in_0_conv")(x.astype(dtype))
+            hs = [h]
+            input_block_chans = [ch]
+            ds = 1
+            idx = 1  # input block index (mirrors reference input_blocks list)
 
-        for level, mult in enumerate(cfg.channel_mult):
-            for _ in range(cfg.num_res_blocks):
-                ch = int(mult * cfg.model_channels)
-                h = block(out_channels=ch, dropout=cfg.dropout,
-                          use_scale_shift_norm=cfg.use_scale_shift_norm,
-                          deterministic=deterministic,
-                          dtype=dtype, name=f"in_{idx}_res")(h, emb)
-                if ds in cfg.attention_resolutions:
-                    h = attn(num_heads=cfg.num_heads,
-                             num_head_channels=cfg.num_head_channels,
-                             dtype=dtype, name=f"in_{idx}_attn")(h)
-                hs.append(h)
-                input_block_chans.append(ch)
-                idx += 1
-            if level != len(cfg.channel_mult) - 1:
-                if cfg.resblock_updown:
+            for level, mult in enumerate(cfg.channel_mult):
+                for _ in range(cfg.num_res_blocks):
+                    ch = int(mult * cfg.model_channels)
                     h = block(out_channels=ch, dropout=cfg.dropout,
                               use_scale_shift_norm=cfg.use_scale_shift_norm,
                               deterministic=deterministic,
-                              down=True, dtype=dtype, name=f"in_{idx}_down")(h, emb)
-                else:
-                    h = Downsample(cfg.conv_resample, out_channels=ch,
-                                   dtype=dtype, name=f"in_{idx}_down")(h)
-                hs.append(h)
-                input_block_chans.append(ch)
-                ds *= 2
-                idx += 1
+                              dtype=dtype, name=f"in_{idx}_res")(h, emb)
+                    if ds in cfg.attention_resolutions:
+                        h = attn(num_heads=cfg.num_heads,
+                                 num_head_channels=cfg.num_head_channels,
+                                 dtype=dtype, name=f"in_{idx}_attn")(h)
+                    hs.append(h)
+                    input_block_chans.append(ch)
+                    idx += 1
+                if level != len(cfg.channel_mult) - 1:
+                    if cfg.resblock_updown:
+                        h = block(out_channels=ch, dropout=cfg.dropout,
+                                  use_scale_shift_norm=cfg.use_scale_shift_norm,
+                                  deterministic=deterministic,
+                                  down=True, dtype=dtype,
+                                  name=f"in_{idx}_down")(h, emb)
+                    else:
+                        h = Downsample(cfg.conv_resample, out_channels=ch,
+                                       dtype=dtype, name=f"in_{idx}_down")(h)
+                    hs.append(h)
+                    input_block_chans.append(ch)
+                    ds *= 2
+                    idx += 1
 
-        h = block(dropout=cfg.dropout,
-                  use_scale_shift_norm=cfg.use_scale_shift_norm,
-                  deterministic=deterministic,
-                  dtype=dtype, name="mid_res0")(h, emb)
-        h = attn(num_heads=cfg.num_heads, num_head_channels=cfg.num_head_channels,
-                 dtype=dtype, name="mid_attn")(h)
-        h = block(dropout=cfg.dropout,
-                  use_scale_shift_norm=cfg.use_scale_shift_norm,
-                  deterministic=deterministic,
-                  dtype=dtype, name="mid_res1")(h, emb)
+            h = block(dropout=cfg.dropout,
+                      use_scale_shift_norm=cfg.use_scale_shift_norm,
+                      deterministic=deterministic,
+                      dtype=dtype, name="mid_res0")(h, emb)
+            h = attn(num_heads=cfg.num_heads,
+                     num_head_channels=cfg.num_head_channels,
+                     dtype=dtype, name="mid_attn")(h)
+            h = block(dropout=cfg.dropout,
+                      use_scale_shift_norm=cfg.use_scale_shift_norm,
+                      deterministic=deterministic,
+                      dtype=dtype, name="mid_res1")(h, emb)
+        else:
+            # decoder-only: replay the static channel bookkeeping without
+            # touching any encoder/middle module
+            h_mid, skips = cache
+            h = h_mid.astype(dtype)
+            hs = [s.astype(dtype) for s in skips]
+            ch = int(cfg.channel_mult[0] * cfg.model_channels)
+            input_block_chans = [ch]
+            for level, mult in enumerate(cfg.channel_mult):
+                for _ in range(cfg.num_res_blocks):
+                    ch = int(mult * cfg.model_channels)
+                    input_block_chans.append(ch)
+                if level != len(cfg.channel_mult) - 1:
+                    input_block_chans.append(ch)
+            ds = 2 ** (len(cfg.channel_mult) - 1)
+
+        new_cache = (h, tuple(hs)) if return_cache else None
 
         idx = 0
         for level, mult in list(enumerate(cfg.channel_mult))[::-1]:
@@ -170,7 +200,10 @@ class UNet(nn.Module):
         h = nn.Conv(cfg.out_channels, (3, 3), padding=1, dtype=jnp.float32,
                     param_dtype=jnp.float32, kernel_init=nn.initializers.zeros,
                     name="out_conv")(h)
-        return h.astype(jnp.float32)
+        out = h.astype(jnp.float32)
+        if return_cache:
+            return out, new_cache
+        return out
 
 
 class InpaintingUNet(nn.Module):
@@ -186,9 +219,13 @@ class InpaintingUNet(nn.Module):
     config: UNetConfig
 
     @nn.compact
-    def __call__(self, x, t, masked_image, mask, *, deterministic: bool = True):
+    def __call__(self, x, t, masked_image, mask, *, deterministic: bool = True,
+                 cache=None, return_cache: bool = False):
         mask3 = jnp.broadcast_to(mask, mask.shape[:-1] + (3,))
         inp = jnp.concatenate(
             [x, masked_image.astype(x.dtype), mask3.astype(x.dtype)], axis=-1
         )
-        return UNet(self.config, name="base")(inp, t, deterministic=deterministic)
+        return UNet(self.config, name="base")(
+            inp, t, deterministic=deterministic,
+            cache=cache, return_cache=return_cache,
+        )

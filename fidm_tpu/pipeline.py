@@ -161,13 +161,26 @@ class InpaintingPipeline:
             )
 
             def run(variables, gt, mask, key):
-                def apply_fn(x, t, mi, m):
+                def scale_t(t):
                     if t_scale is not None:
-                        t = t.astype(jnp.float32) * t_scale
-                    return self.model.apply(variables, x, t, mi, m)
+                        return t.astype(jnp.float32) * t_scale
+                    return t
+
+                def apply_fn(x, t, mi, m):
+                    return self.model.apply(variables, x, scale_t(t), mi, m)
+
+                cache_apply = None
+                if cfg.encoder_cache_period > 1:
+                    cache_apply = (
+                        lambda x, t, mi, m: self.model.apply(
+                            variables, x, scale_t(t), mi, m, return_cache=True),
+                        lambda x, t, mi, m, cache: self.model.apply(
+                            variables, x, scale_t(t), mi, m, cache=cache),
+                    )
 
                 return inpaint_sample(apply_fn, self.sched, cfg,
-                                      gt=gt, mask=mask, key=key)
+                                      gt=gt, mask=mask, key=key,
+                                      cache_apply=cache_apply)
 
             if self.mesh is not None:
                 from .parallel import batch_sharding, replicated
