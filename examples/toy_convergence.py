@@ -105,6 +105,30 @@ def main():
     psnr_base = 10 * np.log10(1.0 / mse_base)
     print(f"loss: {first:.4f} -> {last:.4f}")
     print(f"hole PSNR: model {psnr_model:.2f} dB vs zero-fill {psnr_base:.2f} dB")
+
+    # quality vs encoder-cache period (the +17% throughput knob, BENCH.md)
+    import dataclasses
+
+    cache_apply = (
+        lambda x, t, mi, m: model.apply({"params": params}, x, t, mi, m,
+                                        return_cache=True),
+        lambda x, t, mi, m, c: model.apply({"params": params}, x, t, mi, m,
+                                           cache=c),
+    )
+    base_cfg = SamplerConfig(method="ddim", num_steps=50, eta=0.0,
+                             injection=True)
+    for period in (2, 5, 10):
+        out_k = inpaint_sample(
+            apply_fn, sched,
+            dataclasses.replace(base_cfg, encoder_cache_period=period),
+            gt=test["image"], mask=test["mask"], key=jax.random.PRNGKey(7),
+            cache_apply=cache_apply,
+        )
+        out_k01 = (jnp.clip(out_k, -1, 1) + 1) / 2
+        mse_k = float((((out_k01 - gt01) ** 2) * hole).sum() / (hole.sum() * 3))
+        print(f"hole PSNR @ encoder_cache={period}: "
+              f"{10 * np.log10(1.0 / mse_k):.2f} dB")
+
     assert last < first * 0.5, "training did not converge"
     assert psnr_model > psnr_base + 3, "inpainting no better than baseline"
     print("CONVERGENCE OK")
