@@ -393,11 +393,15 @@ def sample(
     shape,
     key: jax.Array,
     x_init: Optional[jnp.ndarray] = None,
+    cache_apply: Optional[tuple] = None,
 ):
     """Unconditional generation (3-channel base model), library parity.
 
     Equivalent to `p_sample_loop` / `ddim_sample_loop` without injection
-    (`gaussian_diffusion.py:390-538`).
+    (`gaussian_diffusion.py:390-538`). Supports the same encoder-feature
+    reuse as inpaint_sample: with cfg.encoder_cache_period > 1, pass
+    cache_apply = (full_fn(x, t) -> (out, cache), cached_fn(x, t, cache)
+    -> out).
     """
     init_key, step_key = jax.random.split(key)
     x = x_init if x_init is not None else jax.random.normal(init_key, shape)
@@ -406,9 +410,7 @@ def sample(
     if cfg.method == "ddim":
         xs = _to_device_xs(_ddim_tables(sched, cfg))
 
-        def body(x, s):
-            t_full = jnp.full((B,), s["t"], jnp.int32)
-            out = apply_fn(x, t_full)
+        def update(x, s, out):
             raw, _ = gd.split_model_output(out, cfg.var_type)
             pred_x0, _ = _x0_eps_from_raw(raw, x, s, cfg)
             if cfg.clip_denoised:
@@ -419,30 +421,58 @@ def sample(
             noise = jax.random.normal(
                 jax.random.fold_in(step_key, s["step"]), x.shape, x.dtype
             )
-            x = (
+            return (
                 s["sqrt_a_prev"] * pred_x0
                 + s["dir_coef"] * eps
                 + s["noise_gate"] * s["sigma"] * noise
             )
-            return x, None
 
-        x, _ = jax.lax.scan(body, x, xs)
-        return x
-
-    if cfg.method == "ddpm":
+    elif cfg.method == "ddpm":
         xs = _to_device_xs(_ddpm_tables(sched, cfg))
 
-        def body(x, s):
-            t_full = jnp.full((B,), s["t"], jnp.int32)
-            out = apply_fn(x, t_full)
+        def update(x, s, out):
             mean, logvar = _ddpm_mean_logvar(out, x, s, cfg)
             noise = jax.random.normal(
                 jax.random.fold_in(step_key, s["step"]), x.shape, x.dtype
             )
-            x = mean + s["noise_gate"] * jnp.exp(0.5 * logvar) * noise
-            return x, None
+            return mean + s["noise_gate"] * jnp.exp(0.5 * logvar) * noise
+
+    else:
+        raise ValueError(f"unknown method: {cfg.method}")
+
+    period = cfg.encoder_cache_period
+    if period <= 1:
+        def body(x, s):
+            t_full = jnp.full((B,), s["t"], jnp.int32)
+            out = apply_fn(x, t_full)
+            return update(x, s, out), None
 
         x, _ = jax.lax.scan(body, x, xs)
         return x
 
-    raise ValueError(f"unknown method: {cfg.method}")
+    if cache_apply is None:
+        raise ValueError(
+            "cfg.encoder_cache_period > 1 requires cache_apply="
+            "(full_fn, cached_fn)"
+        )
+    full_fn, cached_fn = cache_apply
+    cache_struct = jax.eval_shape(
+        lambda a, b: full_fn(a, b)[1], x, jnp.zeros((B,), jnp.int32)
+    )
+    cache0 = jax.tree_util.tree_map(
+        lambda sd: jnp.zeros(sd.shape, sd.dtype), cache_struct
+    )
+
+    def body(carry, s):
+        x, cache = carry
+        t_full = jnp.full((B,), s["t"], jnp.int32)
+        out, cache = jax.lax.cond(
+            s["step"] % period == 0,
+            lambda xt: full_fn(xt[0], xt[1]),
+            lambda xt: (cached_fn(xt[0], xt[1], cache), cache),
+            (x, t_full),
+        )
+        return (update(x, s, out), cache), None
+
+    (x, _), _ = jax.lax.scan(body, (x, cache0), xs)
+    return x

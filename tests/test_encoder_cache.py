@@ -130,3 +130,31 @@ def test_ddpm_method_supports_encoder_cache():
     assert np.isfinite(out).all()
     keep = mask[..., 0] < 0.5
     np.testing.assert_array_equal(out[keep], gt[keep])
+
+
+def test_unconditional_sample_supports_encoder_cache():
+    from fidm_tpu.models import UNet
+    from fidm_tpu.sampling.sampler import sample
+
+    cfg3 = dataclasses.replace(CFG, in_channels=3)
+    m = UNet(cfg3)
+    x0 = jnp.zeros((2, 16, 16, 3))
+    v = _randomize(m.init(jax.random.PRNGKey(0), x0, jnp.zeros((2,), jnp.int32)))
+
+    from fidm_tpu.diffusion import DiffusionSchedule
+    sched = DiffusionSchedule.create("cosine", 100)
+    s = SamplerConfig(method="ddim", num_steps=6, eta=0.0, injection=False,
+                      final_blend=False, encoder_cache_period=3)
+    ca = (
+        lambda x, t: m.apply(v, x, t, return_cache=True),
+        lambda x, t, c: m.apply(v, x, t, cache=c),
+    )
+    out = sample(lambda x, t: m.apply(v, x, t), sched, s,
+                 shape=(2, 16, 16, 3), key=jax.random.PRNGKey(0),
+                 cache_apply=ca)
+    assert np.isfinite(np.asarray(out)).all()
+
+    s1 = dataclasses.replace(s, encoder_cache_period=1)
+    base = sample(lambda x, t: m.apply(v, x, t), sched, s1,
+                  shape=(2, 16, 16, 3), key=jax.random.PRNGKey(0))
+    assert not np.array_equal(np.asarray(out), np.asarray(base))
