@@ -34,8 +34,9 @@ def parse_args(argv=None):
     p.add_argument("--checkpoint", default=None,
                    help="torch .pt or orbax checkpoint dir (random init if absent)")
     p.add_argument("--preset", default="ddim-100",
-                   help="ddpm-1000 | ddim-30 | ddim-50 | ddim-50-eta0.75 | "
-                        "ddim-100 | ddim-100-det")
+                   help="ddpm-1000 | ddpm-250 | ddpm-100 | ddim-30 | ddim-50 "
+                        "| ddim-50-eta0.75 | ddim-100 | ddim-100-det | "
+                        "ddim-20-fast")
     p.add_argument("--ddim_timesteps", type=int, default=None,
                    help="override preset step count")
     p.add_argument("--eta", type=float, default=None, help="override preset eta")
@@ -58,10 +59,11 @@ def parse_args(argv=None):
     p.add_argument("--injection_schedule", default="all",
                    choices=["all", "high", "low"])
     p.add_argument("--quantize", default="none", choices=["none", "int8"])
-    p.add_argument("--encoder_cache", type=int, default=1,
+    p.add_argument("--encoder_cache", type=int, default=None,
                    help="UNet encoder-reuse period (Faster-Diffusion style); "
                         "run the encoder every k-th step, decoder-only in "
-                        "between. 1 = exact sampling")
+                        "between. 1 = exact sampling (presets may default "
+                        "higher, e.g. ddim-20-fast)")
     p.add_argument("--dtype", default="bf16", choices=["bf16", "f32"],
                    help="compute dtype (the FP16-inference analogue of "
                         "test_quant.py:393-396; bf16 is TPU-native)")
@@ -108,8 +110,10 @@ def main(argv=None):
         injection=not args.no_injection,
         injection_schedule=args.injection_schedule,
         final_blend=not args.no_blend,
-        encoder_cache_period=args.encoder_cache,
     )
+    if args.encoder_cache is not None:
+        sampler = dataclasses.replace(
+            sampler, encoder_cache_period=args.encoder_cache)
 
     import jax.numpy as jnp
 

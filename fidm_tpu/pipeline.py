@@ -47,6 +47,10 @@ SAMPLER_PRESETS = {
                               injection=True),
     "ddim-100-det": SamplerConfig(method="ddim", num_steps=100, eta=0.0,
                                   injection=True),
+    # test_quant.py "fast mode" preset (apply_speed_optimizations, :758-778:
+    # DDIM-20), plus our encoder-feature reuse for further speed
+    "ddim-20-fast": SamplerConfig(method="ddim", num_steps=20, eta=0.9,
+                                  injection=True, encoder_cache_period=2),
 }
 
 

@@ -111,3 +111,11 @@ def test_rescale_timesteps():
     # T=50 -> scale 20: all fed timesteps are multiples of 20 in [0, 1000)
     assert all(t % 20.0 == 0 and t < 1000 for t in ts), ts
     assert max(ts) > 900  # first step near T-1 scaled up
+
+
+def test_ddim20_fast_preset():
+    from fidm_tpu.pipeline import SAMPLER_PRESETS
+
+    p = SAMPLER_PRESETS["ddim-20-fast"]
+    assert p.method == "ddim" and p.num_steps == 20
+    assert p.encoder_cache_period == 2
