@@ -117,16 +117,17 @@ def main():
     )
     base_cfg = SamplerConfig(method="ddim", num_steps=50, eta=0.0,
                              injection=True)
-    for period in (2, 5, 10):
+    for period, tail in ((2, 0), (5, 0), (5, 10), (10, 0), (10, 10)):
         out_k = inpaint_sample(
             apply_fn, sched,
-            dataclasses.replace(base_cfg, encoder_cache_period=period),
+            dataclasses.replace(base_cfg, encoder_cache_period=period,
+                                encoder_cache_tail=tail),
             gt=test["image"], mask=test["mask"], key=jax.random.PRNGKey(7),
             cache_apply=cache_apply,
         )
         out_k01 = (jnp.clip(out_k, -1, 1) + 1) / 2
         mse_k = float((((out_k01 - gt01) ** 2) * hole).sum() / (hole.sum() * 3))
-        print(f"hole PSNR @ encoder_cache={period}: "
+        print(f"hole PSNR @ encoder_cache={period} tail={tail}: "
               f"{10 * np.log10(1.0 / mse_k):.2f} dB")
 
     assert last < first * 0.5, "training did not converge"

@@ -158,3 +158,26 @@ def test_unconditional_sample_supports_encoder_cache():
     base = sample(lambda x, t: m.apply(v, x, t), sched, s1,
                   shape=(2, 16, 16, 3), key=jax.random.PRNGKey(0))
     assert not np.array_equal(np.asarray(out), np.asarray(base))
+
+
+def test_encoder_cache_tail_recovers_exactness():
+    """With tail >= num_steps every step is a key step -> bit-identical to
+    exact sampling; a partial tail changes the output vs no-tail caching."""
+    pipe = _pipe()
+    gt, mask = _data()
+    key = jax.random.PRNGKey(0)
+
+    base = np.asarray(pipe.inpaint(gt, mask, key))
+    s_all_tail = dataclasses.replace(pipe.config.sampler,
+                                     encoder_cache_period=4,
+                                     encoder_cache_tail=8)
+    np.testing.assert_array_equal(
+        base, np.asarray(pipe.inpaint(gt, mask, key, sampler=s_all_tail)))
+
+    s_plain = dataclasses.replace(pipe.config.sampler, encoder_cache_period=4)
+    s_tail = dataclasses.replace(s_plain, encoder_cache_tail=3)
+    out_plain = np.asarray(pipe.inpaint(gt, mask, key, sampler=s_plain))
+    out_tail = np.asarray(pipe.inpaint(gt, mask, key, sampler=s_tail))
+    assert not np.array_equal(out_plain, out_tail)
+    keep = mask[..., 0] < 0.5
+    np.testing.assert_array_equal(out_tail[keep], gt[keep])
