@@ -64,6 +64,9 @@ def parse_args(argv=None):
                         "run the encoder every k-th step, decoder-only in "
                         "between. 1 = exact sampling (presets may default "
                         "higher, e.g. ddim-20-fast)")
+    p.add_argument("--encoder_cache_tail", type=int, default=None,
+                   help="always run the full model on the last N steps "
+                        "(caching hurts most near t=0)")
     p.add_argument("--dtype", default="bf16", choices=["bf16", "f32"],
                    help="compute dtype (the FP16-inference analogue of "
                         "test_quant.py:393-396; bf16 is TPU-native)")
@@ -114,6 +117,9 @@ def main(argv=None):
     if args.encoder_cache is not None:
         sampler = dataclasses.replace(
             sampler, encoder_cache_period=args.encoder_cache)
+    if args.encoder_cache_tail is not None:
+        sampler = dataclasses.replace(
+            sampler, encoder_cache_tail=args.encoder_cache_tail)
 
     import jax.numpy as jnp
 
