@@ -130,6 +130,21 @@ def main():
         print(f"hole PSNR @ encoder_cache={period} tail={tail}: "
               f"{10 * np.log10(1.0 / mse_k):.2f} dB")
 
+    # solver comparison at low step counts: DPM-Solver++(2M) should hold the
+    # DDIM-50 quality with far fewer model evaluations than DDIM does
+    for method, steps in (("ddim", 50), ("ddim", 12), ("dpm++2m", 12),
+                          ("ddim", 8), ("dpm++2m", 8)):
+        out_s = inpaint_sample(
+            apply_fn, sched,
+            SamplerConfig(method=method, num_steps=steps, eta=0.0,
+                          injection=True),
+            gt=test["image"], mask=test["mask"], key=jax.random.PRNGKey(7),
+        )
+        out_s01 = (jnp.clip(out_s, -1, 1) + 1) / 2
+        mse_s = float((((out_s01 - gt01) ** 2) * hole).sum() / (hole.sum() * 3))
+        print(f"hole PSNR @ {method}-{steps}: "
+              f"{10 * np.log10(1.0 / mse_s):.2f} dB")
+
     assert last < first * 0.5, "training did not converge"
     assert psnr_model > psnr_base + 3, "inpainting no better than baseline"
     print("CONVERGENCE OK")

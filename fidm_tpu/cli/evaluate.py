@@ -104,7 +104,7 @@ def main(argv=None):
         args.ddim_timesteps = args.ddim_timesteps or 10
 
     sampler = SAMPLER_PRESETS[args.preset]
-    if args.ddim_timesteps is not None and sampler.method == "ddim":
+    if args.ddim_timesteps is not None and sampler.method in ("ddim", "dpm++2m"):
         sampler = dataclasses.replace(sampler, num_steps=args.ddim_timesteps)
     if args.eta is not None:
         sampler = dataclasses.replace(sampler, eta=args.eta)

@@ -51,6 +51,13 @@ SAMPLER_PRESETS = {
     # DDIM-20), plus our encoder-feature reuse for further speed
     "ddim-20-fast": SamplerConfig(method="ddim", num_steps=20, eta=0.9,
                                   injection=True, encoder_cache_period=2),
+    # DPM-Solver++(2M): second-order ODE solver — DDIM-100-level integrator
+    # accuracy at ~4x fewer model evaluations (no reference equivalent; its
+    # only acceleration is first-order step subsetting)
+    "dpm-25": SamplerConfig(method="dpm++2m", num_steps=25, injection=True),
+    "dpm-20": SamplerConfig(method="dpm++2m", num_steps=20, injection=True),
+    "dpm-20-fast": SamplerConfig(method="dpm++2m", num_steps=20,
+                                 injection=True, encoder_cache_period=2),
 }
 
 

@@ -46,7 +46,7 @@ __all__ = ["SamplerConfig", "inpaint_sample", "sample", "host_alphas_cumprod"]
 
 @dataclasses.dataclass(frozen=True)
 class SamplerConfig:
-    method: str = "ddim"                 # "ddim" | "ddpm"
+    method: str = "ddim"                 # "ddim" | "ddpm" | "dpm++2m"
     num_steps: Optional[int] = 100       # DDIM subset size; None = all T
     # explicit descending timestep grid (overrides num_steps) — used e.g.
     # to sample progressive-distillation students on their training grid
@@ -125,6 +125,42 @@ def _ddim_tables(sched: DiffusionSchedule, cfg: SamplerConfig):
         "pre_inject_sqrt_1ma": np.sqrt(1 - a_t),
         "step": np.arange(len(seq), dtype=np.int32),
     }
+
+
+def _dpm_tables(sched: DiffusionSchedule, cfg: SamplerConfig):
+    """Per-step tables for DPM-Solver++(2M) (Lu et al. 2022, arXiv:2211.01095).
+
+    Second-order multistep solver of the probability-flow ODE in
+    data-prediction (x0) form — the standard way to get DDIM-100-level
+    quality in ~20-25 model evaluations, a capability far beyond the
+    reference's samplers (its only acceleration is first-order DDIM step
+    subsetting, `test_inpainting_better.py:395-408`).
+
+    With lambda = log(alpha/sigma) (log-SNR/2), h_i = lambda_prev - lambda_cur:
+        D_hat_i = (1 + c_i) * D_i - c_i * D_{i-1},   c_i = h_i / (2 h_{i-1})
+        x_prev  = (sigma_prev/sigma_cur) * x + alpha_prev*(1 - e^{-h_i}) * D_hat_i
+    c_0 = 0 (first step = first-order = deterministic DDIM), and the final
+    step to alpha_bar_prev = 1 (h = inf) also drops to first order
+    (diffusers' `lower_order_final`): there coef_x -> 0, coef_D -> 1, so x
+    collapses exactly to the x0 prediction. Deterministic: `eta` is ignored.
+    Injection tables are shared with the DDIM loop (same levels).
+    """
+    base = _ddim_tables(sched, dataclasses.replace(cfg, eta=0.0))
+    a_t = base["sqrt_a_t"].astype(np.float64) ** 2
+    a_prev = base["sqrt_a_prev"].astype(np.float64) ** 2
+    alpha_t, sigma_t = np.sqrt(a_t), np.sqrt(1.0 - a_t)
+    alpha_p, sigma_p = np.sqrt(a_prev), np.sqrt(1.0 - a_prev)
+    with np.errstate(divide="ignore"):
+        lam_t = 0.5 * (np.log(a_t) - np.log1p(-a_t))
+        lam_p = 0.5 * (np.log(a_prev) - np.log1p(-a_prev))  # +inf at a_prev=1
+    h = lam_p - lam_t
+    h_prev = np.concatenate([[np.inf], h[:-1]])  # i=0: c -> 0 (first-order)
+    corr = np.where(np.isfinite(h), h / (2.0 * h_prev), 0.0)
+    base["corr"] = corr
+    base["coef_x"] = sigma_p / sigma_t
+    # alpha_p * (1 - exp(-h)) in a form finite at h = inf
+    base["coef_D"] = alpha_p - sigma_p * alpha_t / sigma_t
+    return base
 
 
 def _ddpm_tables(sched: DiffusionSchedule, cfg: SamplerConfig):
@@ -305,10 +341,11 @@ def inpaint_sample(
     pre = cfg.injection and cfg.injection_point == "pre"
     post = cfg.injection and cfg.injection_point == "post"
 
+    aux0 = None  # extra per-method carry (dpm++2m: previous x0 prediction)
     if cfg.method == "ddim":
         xs = _to_device_xs(_ddim_tables(sched, cfg))
 
-        def update(x, s, out):
+        def update(x, aux, s, out):
             raw = out[..., :3]  # learned variance ignored for DDIM (":523-529")
             pred_x0, eps = _x0_eps_from_raw(raw, x, s, cfg)
             if cfg.clip_denoised:
@@ -322,32 +359,45 @@ def inpaint_sample(
                 s["sqrt_a_prev"] * pred_x0
                 + s["dir_coef"] * eps
                 + s["noise_gate"] * s["sigma"] * noise
-            )
+            ), aux
 
     elif cfg.method == "ddpm":
         xs = _to_device_xs(_ddpm_tables(sched, cfg))
 
-        def update(x, s, out):
+        def update(x, aux, s, out):
             mean, logvar = _ddpm_mean_logvar(out, x, s, cfg)
             noise = jax.random.normal(
                 jax.random.fold_in(step_key, s["step"]), x.shape, x.dtype
             )
-            return mean + s["noise_gate"] * jnp.exp(0.5 * logvar) * noise
+            return mean + s["noise_gate"] * jnp.exp(0.5 * logvar) * noise, aux
+
+    elif cfg.method == "dpm++2m":
+        xs = _to_device_xs(_dpm_tables(sched, cfg))
+        aux0 = jnp.zeros_like(x)  # consumed only when corr > 0 (never step 0)
+
+        def update(x, prev_x0, s, out):
+            raw = out[..., :3]
+            pred_x0, _ = _x0_eps_from_raw(raw, x, s, cfg)
+            if cfg.clip_denoised:
+                pred_x0 = jnp.clip(pred_x0, -1.0, 1.0)
+            d_hat = (1.0 + s["corr"]) * pred_x0 - s["corr"] * prev_x0
+            return s["coef_x"] * x + s["coef_D"] * d_hat, pred_x0
 
     else:
         raise ValueError(f"unknown method: {cfg.method}")
 
     period = cfg.encoder_cache_period
     if period <= 1:
-        def body(x, s):
+        def body(carry, s):
+            x, aux = carry
             t_full = jnp.full((B,), s["t"], jnp.int32)
             x = _maybe_pre_inject(x, s, gt, keep, inject_key, pre)
             out = apply_fn(x, t_full, masked_image, mask)
-            x = update(x, s, out)
+            x, aux = update(x, aux, s, out)
             x = _maybe_post_inject(x, s, gt, keep, inject_key, post)
-            return x, None
+            return (x, aux), None
 
-        x, _ = jax.lax.scan(body, x, xs)
+        (x, _), _ = jax.lax.scan(body, (x, aux0), xs)
     else:
         if cache_apply is None:
             raise ValueError(
@@ -369,7 +419,7 @@ def inpaint_sample(
         K = int(xs["step"].shape[0])
 
         def body(carry, s):
-            x, cache = carry
+            x, aux, cache = carry
             t_full = jnp.full((B,), s["t"], jnp.int32)
             x = _maybe_pre_inject(x, s, gt, keep, inject_key, pre)
             is_key = (s["step"] % period == 0) | (
@@ -382,11 +432,11 @@ def inpaint_sample(
                                       cache), cache),
                 (x, t_full),
             )
-            x = update(x, s, out)
+            x, aux = update(x, aux, s, out)
             x = _maybe_post_inject(x, s, gt, keep, inject_key, post)
-            return (x, cache), None
+            return (x, aux, cache), None
 
-        (x, _), _ = jax.lax.scan(body, (x, cache0), xs)
+        (x, _, _), _ = jax.lax.scan(body, (x, aux0, cache0), xs)
 
     if cfg.final_blend:
         x = x * mask + gt * keep
@@ -415,10 +465,11 @@ def sample(
     x = x_init if x_init is not None else jax.random.normal(init_key, shape)
     B = shape[0]
 
+    aux0 = None
     if cfg.method == "ddim":
         xs = _to_device_xs(_ddim_tables(sched, cfg))
 
-        def update(x, s, out):
+        def update(x, aux, s, out):
             raw, _ = gd.split_model_output(out, cfg.var_type)
             pred_x0, _ = _x0_eps_from_raw(raw, x, s, cfg)
             if cfg.clip_denoised:
@@ -433,29 +484,42 @@ def sample(
                 s["sqrt_a_prev"] * pred_x0
                 + s["dir_coef"] * eps
                 + s["noise_gate"] * s["sigma"] * noise
-            )
+            ), aux
 
     elif cfg.method == "ddpm":
         xs = _to_device_xs(_ddpm_tables(sched, cfg))
 
-        def update(x, s, out):
+        def update(x, aux, s, out):
             mean, logvar = _ddpm_mean_logvar(out, x, s, cfg)
             noise = jax.random.normal(
                 jax.random.fold_in(step_key, s["step"]), x.shape, x.dtype
             )
-            return mean + s["noise_gate"] * jnp.exp(0.5 * logvar) * noise
+            return mean + s["noise_gate"] * jnp.exp(0.5 * logvar) * noise, aux
+
+    elif cfg.method == "dpm++2m":
+        xs = _to_device_xs(_dpm_tables(sched, cfg))
+        aux0 = jnp.zeros_like(x)
+
+        def update(x, prev_x0, s, out):
+            raw, _ = gd.split_model_output(out, cfg.var_type)
+            pred_x0, _ = _x0_eps_from_raw(raw, x, s, cfg)
+            if cfg.clip_denoised:
+                pred_x0 = jnp.clip(pred_x0, -1.0, 1.0)
+            d_hat = (1.0 + s["corr"]) * pred_x0 - s["corr"] * prev_x0
+            return s["coef_x"] * x + s["coef_D"] * d_hat, pred_x0
 
     else:
         raise ValueError(f"unknown method: {cfg.method}")
 
     period = cfg.encoder_cache_period
     if period <= 1:
-        def body(x, s):
+        def body(carry, s):
+            x, aux = carry
             t_full = jnp.full((B,), s["t"], jnp.int32)
             out = apply_fn(x, t_full)
-            return update(x, s, out), None
+            return update(x, aux, s, out), None
 
-        x, _ = jax.lax.scan(body, x, xs)
+        (x, _), _ = jax.lax.scan(body, (x, aux0), xs)
         return x
 
     if cache_apply is None:
@@ -474,7 +538,7 @@ def sample(
     K = int(xs["step"].shape[0])
 
     def body(carry, s):
-        x, cache = carry
+        x, aux, cache = carry
         t_full = jnp.full((B,), s["t"], jnp.int32)
         is_key = (s["step"] % period == 0) | (
             s["step"] >= K - cfg.encoder_cache_tail
@@ -485,7 +549,8 @@ def sample(
             lambda xt: (cached_fn(xt[0], xt[1], cache), cache),
             (x, t_full),
         )
-        return (update(x, s, out), cache), None
+        x, aux = update(x, aux, s, out)
+        return (x, aux, cache), None
 
-    (x, _), _ = jax.lax.scan(body, (x, cache0), xs)
+    (x, _, _), _ = jax.lax.scan(body, (x, aux0, cache0), xs)
     return x

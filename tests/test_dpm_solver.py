@@ -1,0 +1,213 @@
+"""DPM-Solver++(2M) sampler tests (SamplerConfig.method="dpm++2m").
+
+The solver is validated three ways: against a step-by-step float64 numpy
+re-implementation of the published update rule, by exact-x0 recovery with a
+perfect-eps model, and by a convergence comparison showing it tracks the
+fine-grid probability-flow ODE solution more accurately than first-order
+DDIM at the same step count (the whole point of the method).
+"""
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from fidm_tpu.diffusion import DiffusionSchedule, ddim_timestep_sequence
+from fidm_tpu.diffusion.schedules import get_named_beta_schedule
+from fidm_tpu.sampling import SamplerConfig, inpaint_sample, sample
+
+T = 50
+SCHED = DiffusionSchedule.create("linear", T)
+SHAPE = (2, 8, 8, 3)
+
+
+def _acp64():
+    betas = get_named_beta_schedule("linear", T)
+    return np.cumprod(1.0 - betas)
+
+
+def _eps_fn64(x, t):
+    return 0.3 * x + 0.05 * (t / T)
+
+
+def _eps_apply_fn(x, t, masked_image, mask):
+    eps = 0.3 * x + 0.05 * (t[:, None, None, None] / T)
+    return jnp.concatenate([eps, jnp.zeros_like(eps)], axis=-1)
+
+
+def _numpy_dpm2m_oracle(x_init, eps_fn, K, clip=True):
+    """Float64 DPM-Solver++(2M) in data-prediction form (arXiv:2211.01095)."""
+    acp = _acp64()
+    seq = ddim_timestep_sequence(T, K)
+    x = np.asarray(x_init, np.float64)
+    prev_x0, h_prev = None, None
+    for i, t in enumerate(seq):
+        a_t = acp[t]
+        a_prev = acp[seq[i + 1]] if i < len(seq) - 1 else 1.0
+        alpha_t, sigma_t = np.sqrt(a_t), np.sqrt(1 - a_t)
+        alpha_p, sigma_p = np.sqrt(a_prev), np.sqrt(1 - a_prev)
+        lam_t = np.log(alpha_t / sigma_t)
+        lam_p = np.log(alpha_p / sigma_p) if a_prev < 1.0 else np.inf
+        h = lam_p - lam_t
+        eps = eps_fn(x, t)
+        x0 = (x - sigma_t * eps) / alpha_t
+        if clip:
+            x0 = np.clip(x0, -1, 1)
+        if prev_x0 is None or not np.isfinite(h):
+            d = x0  # first-order on the first and final steps
+        else:
+            c = h / (2 * h_prev)  # = 1/(2 r), r = h_prev/h
+            d = (1 + c) * x0 - c * prev_x0
+        if np.isfinite(h):
+            x = (sigma_p / sigma_t) * x + alpha_p * (1 - np.exp(-h)) * d
+        else:  # final step to alpha_bar = 1
+            x = d
+        prev_x0, h_prev = x0, h
+    return x
+
+
+def test_dpm2m_matches_numpy_oracle():
+    x_init = jax.random.normal(jax.random.PRNGKey(5), SHAPE)
+    cfg = SamplerConfig(method="dpm++2m", num_steps=10, injection=False,
+                        final_blend=False)
+    out = inpaint_sample(_eps_apply_fn, SCHED, cfg,
+                         gt=jnp.zeros(SHAPE), mask=jnp.ones(SHAPE[:-1] + (1,)),
+                         key=jax.random.PRNGKey(1), x_init=x_init)
+    oracle = _numpy_dpm2m_oracle(np.asarray(x_init), _eps_fn64, 10)
+    np.testing.assert_allclose(np.asarray(out), oracle, atol=2e-4)
+
+
+def test_dpm2m_perfect_model_recovers_x0():
+    x0 = jnp.clip(jax.random.normal(jax.random.PRNGKey(0), SHAPE) * 0.5, -1, 1)
+    acp = jnp.asarray(_acp64(), jnp.float32)
+
+    def apply_fn(x, t, masked_image, mask):
+        a = acp[t][:, None, None, None]
+        eps = (x - jnp.sqrt(a) * x0) / jnp.sqrt(1 - a)
+        return jnp.concatenate([eps, jnp.zeros_like(eps)], axis=-1)
+
+    cfg = SamplerConfig(method="dpm++2m", num_steps=12, injection=False,
+                        final_blend=False)
+    out = inpaint_sample(apply_fn, SCHED, cfg, gt=x0,
+                         mask=jnp.ones(SHAPE[:-1] + (1,)),
+                         key=jax.random.PRNGKey(1))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(x0), atol=5e-3)
+
+
+def test_dpm2m_more_accurate_than_ddim_at_same_steps():
+    """Second-order multistep tracks the fine-grid ODE solution better than
+    first-order DDIM at equal NFE — the reason the method exists."""
+    x_init = np.random.default_rng(7).standard_normal(SHAPE).astype(np.float32)
+
+    # ground truth: deterministic DDIM over ALL T steps in float64
+    # (fine-grid solution of the same probability-flow ODE), no clipping so
+    # the comparison is purely about integrator error
+    acp = _acp64()
+    x = x_init.astype(np.float64)
+    for i, t in enumerate(np.arange(T)[::-1]):
+        a_t = acp[t]
+        a_prev = acp[t - 1] if t > 0 else 1.0
+        eps = _eps_fn64(x, t)
+        x0 = (x - np.sqrt(1 - a_t) * eps) / np.sqrt(a_t)
+        x = np.sqrt(a_prev) * x0 + np.sqrt(1 - a_prev) * eps
+    truth = x
+
+    def run(method, K):
+        cfg = SamplerConfig(method=method, num_steps=K, eta=0.0,
+                            injection=False, final_blend=False,
+                            clip_denoised=False)
+        out = inpaint_sample(_eps_apply_fn, SCHED, cfg,
+                             gt=jnp.zeros(SHAPE),
+                             mask=jnp.ones(SHAPE[:-1] + (1,)),
+                             key=jax.random.PRNGKey(1),
+                             x_init=jnp.asarray(x_init))
+        return float(np.mean((np.asarray(out, np.float64) - truth) ** 2))
+
+    err_ddim = run("ddim", 10)
+    err_dpm = run("dpm++2m", 10)
+    assert err_dpm < err_ddim, (err_dpm, err_ddim)
+
+
+def test_dpm2m_injection_and_blend_preserve_known_pixels():
+    gt = jnp.clip(jax.random.normal(jax.random.PRNGKey(3), SHAPE), -1, 1)
+    mask = jnp.zeros(SHAPE[:-1] + (1,)).at[:, 2:5, 2:5].set(1.0)
+
+    def apply_fn(x, t, masked_image, mask):
+        return jnp.concatenate([jnp.zeros_like(x)] * 2, axis=-1)
+
+    cfg = SamplerConfig(method="dpm++2m", num_steps=6, injection=True)
+    out = inpaint_sample(apply_fn, SCHED, cfg, gt=gt, mask=mask,
+                         key=jax.random.PRNGKey(4))
+    assert np.all(np.isfinite(np.asarray(out)))
+    keep = np.asarray(1 - mask)[..., 0] > 0.5
+    np.testing.assert_array_equal(np.asarray(out)[keep], np.asarray(gt)[keep])
+
+
+def test_dpm2m_deterministic():
+    gt = jnp.zeros(SHAPE)
+    mask = jnp.ones(SHAPE[:-1] + (1,))
+    cfg = SamplerConfig(method="dpm++2m", num_steps=8, injection=False,
+                        final_blend=False)
+    a = inpaint_sample(_eps_apply_fn, SCHED, cfg, gt=gt, mask=mask,
+                       key=jax.random.PRNGKey(0))
+    b = inpaint_sample(_eps_apply_fn, SCHED, cfg, gt=gt, mask=mask,
+                       key=jax.random.PRNGKey(1))
+    # deterministic solver: only the init noise depends on the key, so with
+    # identical x_init the outputs must agree
+    x_init = jax.random.normal(jax.random.PRNGKey(2), SHAPE)
+    a = inpaint_sample(_eps_apply_fn, SCHED, cfg, gt=gt, mask=mask,
+                       key=jax.random.PRNGKey(0), x_init=x_init)
+    b = inpaint_sample(_eps_apply_fn, SCHED, cfg, gt=gt, mask=mask,
+                       key=jax.random.PRNGKey(1), x_init=x_init)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_dpm2m_unconditional_sample_runs():
+    def apply_fn(x, t):
+        return jnp.concatenate([0.2 * x, jnp.zeros_like(x)], axis=-1)
+
+    cfg = SamplerConfig(method="dpm++2m", num_steps=6, injection=False)
+    out = sample(apply_fn, SCHED, cfg, shape=SHAPE, key=jax.random.PRNGKey(0))
+    assert out.shape == SHAPE and np.all(np.isfinite(np.asarray(out)))
+
+
+def test_dpm2m_encoder_cache_compatible():
+    """The extra carry slot composes with the encoder-cache scan variant."""
+    from fidm_tpu.models import InpaintingUNet, UNetConfig
+
+    cfg_u = UNetConfig(
+        image_size=16, in_channels=9, model_channels=32, out_channels=6,
+        num_res_blocks=1, attention_resolutions=(2,), channel_mult=(1, 2),
+        num_heads=2, num_head_channels=16, dtype=jnp.float32,
+    )
+    m = InpaintingUNet(cfg_u)
+    gt = jnp.clip(jax.random.normal(jax.random.PRNGKey(3), (1, 16, 16, 3)), -1, 1)
+    mask = jnp.zeros((1, 16, 16, 1)).at[:, 4:12, 4:12].set(1.0)
+    variables = m.init(jax.random.PRNGKey(0), gt, jnp.zeros((1,), jnp.int32),
+                       gt, mask)
+
+    def apply_fn(x, t, mi, mk):
+        return m.apply(variables, x, t, mi, mk)
+
+    cache_apply = (
+        lambda x, t, mi, mk: m.apply(variables, x, t, mi, mk,
+                                     return_cache=True),
+        lambda x, t, mi, mk, c: m.apply(variables, x, t, mi, mk, cache=c),
+    )
+    cfg = SamplerConfig(method="dpm++2m", num_steps=6, injection=True,
+                        encoder_cache_period=2)
+    out = inpaint_sample(apply_fn, SCHED, cfg, gt=gt, mask=mask,
+                         key=jax.random.PRNGKey(4), cache_apply=cache_apply)
+    assert np.all(np.isfinite(np.asarray(out)))
+    keep = np.asarray(1 - mask)[..., 0] > 0.5
+    np.testing.assert_array_equal(np.asarray(out)[keep], np.asarray(gt)[keep])
+
+
+def test_dpm2m_custom_timestep_grid():
+    grid = tuple(int(t) for t in (40, 25, 12, 4, 0))
+    cfg = SamplerConfig(method="dpm++2m", timesteps=grid, injection=False,
+                        final_blend=False)
+    out = inpaint_sample(_eps_apply_fn, SCHED, cfg, gt=jnp.zeros(SHAPE),
+                         mask=jnp.ones(SHAPE[:-1] + (1,)),
+                         key=jax.random.PRNGKey(0))
+    assert np.all(np.isfinite(np.asarray(out)))
