@@ -36,7 +36,10 @@ def parse_args(argv=None):
     p.add_argument("--preset", default="ddim-100",
                    help="ddpm-1000 | ddpm-250 | ddpm-100 | ddim-30 | ddim-50 "
                         "| ddim-50-eta0.75 | ddim-100 | ddim-100-det | "
-                        "ddim-20-fast")
+                        "ddim-20-fast | dpm-25 | dpm-20 | dpm-20-fast")
+    p.add_argument("--time_spacing", default=None,
+                   choices=["uniform", "trailing", "lambda"],
+                   help="how steps are placed on the chain (default: preset)")
     p.add_argument("--ddim_timesteps", type=int, default=None,
                    help="override preset step count")
     p.add_argument("--eta", type=float, default=None, help="override preset eta")
@@ -114,6 +117,8 @@ def main(argv=None):
         injection_schedule=args.injection_schedule,
         final_blend=not args.no_blend,
     )
+    if args.time_spacing is not None:
+        sampler = dataclasses.replace(sampler, time_spacing=args.time_spacing)
     if args.encoder_cache is not None:
         sampler = dataclasses.replace(
             sampler, encoder_cache_period=args.encoder_cache)

@@ -23,6 +23,7 @@ __all__ = [
     "betas_for_alpha_bar",
     "DiffusionSchedule",
     "ddim_timestep_sequence",
+    "timestep_sequence",
 ]
 
 
@@ -150,3 +151,37 @@ def ddim_timestep_sequence(total_timesteps: int, ddim_timesteps: int) -> np.ndar
     if seq[-1] != total_timesteps - 1:
         seq = np.append(seq, total_timesteps - 1)
     return seq[::-1].copy()
+
+
+def timestep_sequence(
+    total_timesteps: int,
+    num_steps: int,
+    spacing: str = "uniform",
+    alphas_cumprod: np.ndarray | None = None,
+) -> np.ndarray:
+    """Descending timestep subset under a named spacing strategy.
+
+    - "uniform": the reference eval-harness respacing
+      (`test_inpainting_better.py:395-408`) via `ddim_timestep_sequence`.
+    - "trailing": steps anchored at T-1 with even stride T/K, never visiting
+      t=0's neighborhood twice (the "trailing" rule of arXiv:2305.08891,
+      common in modern samplers; slightly better than "uniform" at low K).
+    - "lambda": uniform in half-log-SNR lambda = 0.5*log(acp/(1-acp)) between
+      t=T-1 and t=0 — the spacing DPM-Solver's error bounds assume
+      (arXiv:2206.00927 §3.4); requires `alphas_cumprod`.
+    """
+    T, K = total_timesteps, num_steps
+    if spacing == "uniform":
+        return ddim_timestep_sequence(T, K)
+    if spacing == "trailing":
+        seq = np.round(np.arange(T, 0, -T / K)).astype(np.int64) - 1
+        return np.unique(seq)[::-1].copy()
+    if spacing == "lambda":
+        if alphas_cumprod is None:
+            raise ValueError("lambda spacing requires alphas_cumprod")
+        acp = np.asarray(alphas_cumprod, np.float64)
+        lam = 0.5 * (np.log(acp) - np.log1p(-acp))
+        targets = np.linspace(lam[T - 1], lam[0], K)
+        idx = np.abs(lam[None, :] - targets[:, None]).argmin(axis=1)
+        return np.unique(idx)[::-1].copy()
+    raise ValueError(f"unknown spacing: {spacing}")

@@ -37,8 +37,8 @@ import numpy as np
 from ..diffusion import gaussian as gd
 from ..diffusion.schedules import (
     DiffusionSchedule,
-    ddim_timestep_sequence,
     get_named_beta_schedule,
+    timestep_sequence,
 )
 
 __all__ = ["SamplerConfig", "inpaint_sample", "sample", "host_alphas_cumprod"]
@@ -51,6 +51,10 @@ class SamplerConfig:
     # explicit descending timestep grid (overrides num_steps) — used e.g.
     # to sample progressive-distillation students on their training grid
     timesteps: Optional[tuple] = None
+    # how num_steps are placed on the T-step chain: "uniform" (reference
+    # parity), "trailing" (arXiv:2305.08891), or "lambda" (uniform in
+    # log-SNR, the spacing DPM-Solver's error bounds assume)
+    time_spacing: str = "uniform"
     eta: float = 0.0
     clip_denoised: bool = True
     injection: bool = True
@@ -90,16 +94,25 @@ def _injection_gate(ts: np.ndarray, schedule: str, T: int) -> np.ndarray:
     raise ValueError(f"unknown injection_schedule: {schedule}")
 
 
-def _ddim_tables(sched: DiffusionSchedule, cfg: SamplerConfig):
-    """Per-step float64 coefficient tables for the respaced DDIM loop."""
+def _respaced_seq(sched: DiffusionSchedule, cfg: SamplerConfig,
+                  acp: np.ndarray) -> np.ndarray:
+    """The descending timestep grid for this config (explicit > spaced > full)."""
     T = sched.num_timesteps
     if cfg.timesteps is not None:
         seq = np.asarray(cfg.timesteps, dtype=np.int64)
         assert (np.diff(seq) < 0).all(), "timesteps must be descending"
-    else:
-        K = cfg.num_steps or T
-        seq = ddim_timestep_sequence(T, K) if K < T else np.arange(T)[::-1]
+        return seq
+    K = cfg.num_steps or T
+    if K >= T:
+        return np.arange(T)[::-1]
+    return timestep_sequence(T, K, cfg.time_spacing, alphas_cumprod=acp)
+
+
+def _ddim_tables(sched: DiffusionSchedule, cfg: SamplerConfig):
+    """Per-step float64 coefficient tables for the respaced DDIM loop."""
+    T = sched.num_timesteps
     acp = host_alphas_cumprod(sched)
+    seq = _respaced_seq(sched, cfg, acp)
 
     a_t = acp[seq]
     a_prev = np.append(acp[seq[1:]], 1.0)  # last step's "previous" is x_0
@@ -177,14 +190,8 @@ def _ddpm_tables(sched: DiffusionSchedule, cfg: SamplerConfig):
     (`test_inpainting_better.py:456-474`).
     """
     T = sched.num_timesteps
-    if cfg.timesteps is not None:
-        seq = np.asarray(cfg.timesteps, dtype=np.int64)
-        assert (np.diff(seq) < 0).all(), "timesteps must be descending"
-    elif cfg.num_steps is not None and cfg.num_steps < T:
-        seq = ddim_timestep_sequence(T, cfg.num_steps)
-    else:
-        seq = np.arange(T)[::-1]
     acp = host_alphas_cumprod(sched)
+    seq = _respaced_seq(sched, cfg, acp)
 
     # respaced chain quantities (equal the originals when seq == arange)
     a_cur = acp[seq]                      # alpha-bar at each retained step

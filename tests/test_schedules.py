@@ -119,3 +119,66 @@ def test_ddim_timestep_sequence_matches_reference_logic():
 def test_ddim_sequence_exact_divisor_no_append():
     seq = ddim_timestep_sequence(100, 100)
     assert len(seq) == 100 and seq[0] == 99
+
+
+def test_timestep_sequence_spacings():
+    """trailing/lambda grids: descending, unique, in-range, correct size;
+    uniform is reference parity."""
+    import numpy as np
+    from fidm_tpu.diffusion.schedules import (
+        ddim_timestep_sequence,
+        get_named_beta_schedule,
+        timestep_sequence,
+    )
+
+    T, K = 1000, 20
+    acp = np.cumprod(1 - get_named_beta_schedule("quadratic", T))
+    np.testing.assert_array_equal(
+        timestep_sequence(T, K, "uniform"), ddim_timestep_sequence(T, K)
+    )
+    for spacing in ("trailing", "lambda"):
+        seq = timestep_sequence(T, K, spacing, alphas_cumprod=acp)
+        assert (np.diff(seq) < 0).all()
+        assert len(np.unique(seq)) == len(seq) == K
+        assert seq[0] == T - 1 and seq[-1] >= 0
+    # trailing anchors at T-1 and skips t=0's duplicate neighborhood
+    tr = timestep_sequence(T, K, "trailing")
+    assert tr[-1] == T // K - 1
+    # lambda concentrates steps near t=0 where log-SNR moves fastest
+    lam = timestep_sequence(T, K, "lambda", alphas_cumprod=acp)
+    assert lam[-1] == 0 and lam[-2] < tr[-2]
+
+
+def test_sampler_time_spacing_integration():
+    """time_spacing changes the trajectory but keeps all sampler contracts."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from fidm_tpu.diffusion import DiffusionSchedule
+    from fidm_tpu.sampling import SamplerConfig, inpaint_sample
+
+    sched = DiffusionSchedule.create("linear", 50)
+    shape = (1, 8, 8, 3)
+    gt = jnp.clip(jax.random.normal(jax.random.PRNGKey(3), shape), -1, 1)
+    mask = jnp.zeros(shape[:-1] + (1,)).at[:, 2:6, 2:6].set(1.0)
+
+    def apply_fn(x, t, mi, m):
+        eps = 0.3 * x + 0.05 * (t[:, None, None, None] / 50.0)
+        return jnp.concatenate([eps, jnp.zeros_like(eps)], axis=-1)
+
+    outs = {}
+    for spacing in ("uniform", "trailing", "lambda"):
+        for method in ("ddim", "dpm++2m"):
+            cfg = SamplerConfig(method=method, num_steps=10, eta=0.0,
+                                injection=True, time_spacing=spacing)
+            out = inpaint_sample(apply_fn, sched, cfg, gt=gt, mask=mask,
+                                 key=jax.random.PRNGKey(0))
+            assert np.all(np.isfinite(np.asarray(out)))
+            keep = np.asarray(1 - mask)[..., 0] > 0.5
+            np.testing.assert_array_equal(np.asarray(out)[keep],
+                                          np.asarray(gt)[keep])
+            outs[(spacing, method)] = np.asarray(out)
+    assert not np.allclose(outs[("uniform", "ddim")],
+                           outs[("trailing", "ddim")])
+    assert not np.allclose(outs[("uniform", "dpm++2m")],
+                           outs[("lambda", "dpm++2m")])
