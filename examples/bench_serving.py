@@ -26,6 +26,7 @@ def main():
     p.add_argument("--requests", type=int, default=32)
     p.add_argument("--concurrency", type=int, default=16)
     p.add_argument("--steps", type=int, default=100)
+    p.add_argument("--method", default="ddim", choices=["ddim", "ddpm", "dpm++2m"])
     p.add_argument("--batch_size", type=int, default=8)
     p.add_argument("--port", type=int, default=8571)
     args = p.parse_args()
@@ -42,7 +43,7 @@ def main():
     from http.server import ThreadingHTTPServer
 
     cfg = PipelineConfig(sampler=SamplerConfig(
-        method="ddim", num_steps=args.steps, eta=0.9, injection=True))
+        method=args.method, num_steps=args.steps, eta=0.9, injection=True))
     pipe = InpaintingPipeline.create(cfg)
     S = cfg.unet.image_size
 

@@ -59,32 +59,58 @@ def synth_batch(key, n):
     return {"image": img, "masked_image": img * (1 - mask), "mask": mask}
 
 
-def main():
-    key = jax.random.PRNGKey(0)
+def train_toy(steps=STEPS, cache_path=None, key=None):
+    """Train the toy inpainting UNet; optionally cache params via pickle.
+
+    Returns (params, first_loss, last_loss). With `cache_path` set, a prior
+    run's params load instantly — reuse this from quality experiments
+    instead of retraining (`train_toy(3000, "/tmp/toy3k.pkl")`).
+    """
+    import pickle
+
+    key = key if key is not None else jax.random.PRNGKey(0)
     sched = DiffusionSchedule.create("cosine", T)
     model = InpaintingUNet(CFG)
+    if cache_path and os.path.exists(cache_path):
+        with open(cache_path, "rb") as f:
+            np_params = pickle.load(f)
+        params = jax.tree_util.tree_map(jnp.asarray, np_params)
+        print(f"loaded toy params from {cache_path}")
+        return params, None, None
     b0 = synth_batch(key, 1)
     variables = model.init(key, b0["image"], jnp.zeros((1,), jnp.int32),
                            b0["masked_image"], b0["mask"])
-    tx = make_optimizer(make_lr_schedule("cosine", 3e-4, STEPS, 50))
+    tx = make_optimizer(make_lr_schedule("cosine", 3e-4, steps, 50))
     state = TrainState.create(apply_fn=model.apply,
                               params=variables["params"], tx=tx)
     step = make_train_step(sched)
 
     t0 = time.time()
     first = last = None
-    for i in range(STEPS):
+    for i in range(steps):
         batch = synth_batch(jax.random.fold_in(key, i), BATCH)
         state, metrics = step(state, batch, jax.random.PRNGKey(1))
         if i == 0:
             first = float(metrics["loss"])
-        if i % 100 == 0 or i == STEPS - 1:
+        if i % 100 == 0 or i == steps - 1:
             last = float(metrics["loss"])
             print(f"step {i}: loss={last:.4f} ({time.time()-t0:.0f}s)")
+    if cache_path:
+        np_params = jax.tree_util.tree_map(np.asarray, state.params)
+        with open(cache_path, "wb") as f:
+            pickle.dump(np_params, f)
+        print(f"saved toy params to {cache_path}")
+    return state.params, first, last
+
+
+def main():
+    key = jax.random.PRNGKey(0)
+    sched = DiffusionSchedule.create("cosine", T)
+    model = InpaintingUNet(CFG)
+    params, first, last = train_toy()
 
     # held-out eval: inpaint and measure hole PSNR vs a copy-masked baseline
     test = synth_batch(jax.random.PRNGKey(999), 16)
-    params = state.params
 
     def apply_fn(x, t, mi, m):
         return model.apply({"params": params}, x, t, mi, m)

@@ -56,6 +56,11 @@ SAMPLER_PRESETS = {
     # only acceleration is first-order step subsetting)
     "dpm-25": SamplerConfig(method="dpm++2m", num_steps=25, injection=True),
     "dpm-20": SamplerConfig(method="dpm++2m", num_steps=20, injection=True),
+    # stochastic variant (diffusers' sde-dpmsolver++): 2nd-order accuracy
+    # with DDIM-eta=1-style fresh noise each step — the analogue of the
+    # reference's preferred eta=0.9 sampling for inpainting harmonization
+    "dpm-25-sde": SamplerConfig(method="dpm++2m-sde", num_steps=25,
+                                injection=True),
     "dpm-20-fast": SamplerConfig(method="dpm++2m", num_steps=20,
                                  injection=True, encoder_cache_period=2),
 }

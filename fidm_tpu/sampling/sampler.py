@@ -46,7 +46,7 @@ __all__ = ["SamplerConfig", "inpaint_sample", "sample", "host_alphas_cumprod"]
 
 @dataclasses.dataclass(frozen=True)
 class SamplerConfig:
-    method: str = "ddim"                 # "ddim" | "ddpm" | "dpm++2m"
+    method: str = "ddim"       # "ddim" | "ddpm" | "dpm++2m" | "dpm++2m-sde"
     num_steps: Optional[int] = 100       # DDIM subset size; None = all T
     # explicit descending timestep grid (overrides num_steps) — used e.g.
     # to sample progressive-distillation students on their training grid
@@ -173,6 +173,21 @@ def _dpm_tables(sched: DiffusionSchedule, cfg: SamplerConfig):
     base["coef_x"] = sigma_p / sigma_t
     # alpha_p * (1 - exp(-h)) in a form finite at h = inf
     base["coef_D"] = alpha_p - sigma_p * alpha_t / sigma_t
+    if cfg.method == "dpm++2m-sde":
+        # SDE variant (diffusers' algorithm_type="sde-dpmsolver++", 2nd-order
+        # multistep): same D-hat correction, but the linear term contracts by
+        # exp(-2h) and fresh noise of matching variance is injected — the
+        # stochastic analogue of DDIM eta=1 with 2nd-order accuracy:
+        #   x_prev = (sigma_p/sigma_t) e^{-h} x + alpha_p (1-e^{-2h}) D_hat
+        #            + sigma_p sqrt(1-e^{-2h}) z
+        # exp(-h) = (sigma_p alpha_t)/(sigma_t alpha_p); finite everywhere,
+        # -> 0 at the final step (a_prev = 1) where the noise term vanishes.
+        exp_mh = np.where(
+            a_prev < 1.0, (sigma_p / sigma_t) * (alpha_t / np.maximum(alpha_p, 1e-30)), 0.0
+        )
+        base["coef_x"] = (sigma_p / sigma_t) * exp_mh
+        base["coef_D"] = alpha_p * (1.0 - exp_mh**2)
+        base["sde_noise"] = sigma_p * np.sqrt(1.0 - exp_mh**2)
     return base
 
 
@@ -378,9 +393,10 @@ def inpaint_sample(
             )
             return mean + s["noise_gate"] * jnp.exp(0.5 * logvar) * noise, aux
 
-    elif cfg.method == "dpm++2m":
+    elif cfg.method in ("dpm++2m", "dpm++2m-sde"):
         xs = _to_device_xs(_dpm_tables(sched, cfg))
         aux0 = jnp.zeros_like(x)  # consumed only when corr > 0 (never step 0)
+        sde = cfg.method == "dpm++2m-sde"
 
         def update(x, prev_x0, s, out):
             raw = out[..., :3]
@@ -388,7 +404,13 @@ def inpaint_sample(
             if cfg.clip_denoised:
                 pred_x0 = jnp.clip(pred_x0, -1.0, 1.0)
             d_hat = (1.0 + s["corr"]) * pred_x0 - s["corr"] * prev_x0
-            return s["coef_x"] * x + s["coef_D"] * d_hat, pred_x0
+            x_new = s["coef_x"] * x + s["coef_D"] * d_hat
+            if sde:
+                noise = jax.random.normal(
+                    jax.random.fold_in(step_key, s["step"]), x.shape, x.dtype
+                )
+                x_new = x_new + s["sde_noise"] * noise
+            return x_new, pred_x0
 
     else:
         raise ValueError(f"unknown method: {cfg.method}")
@@ -503,9 +525,10 @@ def sample(
             )
             return mean + s["noise_gate"] * jnp.exp(0.5 * logvar) * noise, aux
 
-    elif cfg.method == "dpm++2m":
+    elif cfg.method in ("dpm++2m", "dpm++2m-sde"):
         xs = _to_device_xs(_dpm_tables(sched, cfg))
         aux0 = jnp.zeros_like(x)
+        sde = cfg.method == "dpm++2m-sde"
 
         def update(x, prev_x0, s, out):
             raw, _ = gd.split_model_output(out, cfg.var_type)
@@ -513,7 +536,13 @@ def sample(
             if cfg.clip_denoised:
                 pred_x0 = jnp.clip(pred_x0, -1.0, 1.0)
             d_hat = (1.0 + s["corr"]) * pred_x0 - s["corr"] * prev_x0
-            return s["coef_x"] * x + s["coef_D"] * d_hat, pred_x0
+            x_new = s["coef_x"] * x + s["coef_D"] * d_hat
+            if sde:
+                noise = jax.random.normal(
+                    jax.random.fold_in(step_key, s["step"]), x.shape, x.dtype
+                )
+                x_new = x_new + s["sde_noise"] * noise
+            return x_new, pred_x0
 
     else:
         raise ValueError(f"unknown method: {cfg.method}")

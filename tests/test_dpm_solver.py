@@ -211,3 +211,83 @@ def test_dpm2m_custom_timestep_grid():
                          mask=jnp.ones(SHAPE[:-1] + (1,)),
                          key=jax.random.PRNGKey(0))
     assert np.all(np.isfinite(np.asarray(out)))
+
+
+def _numpy_dpm2m_sde_oracle(x_init, eps_fn, K, noise_fn, clip=True):
+    """Float64 sde-dpmsolver++ (2M) re-implementation (diffusers'
+    algorithm_type="sde-dpmsolver++"): same D-hat, exp(-2h) contraction,
+    matched-variance fresh noise."""
+    acp = _acp64()
+    seq = ddim_timestep_sequence(T, K)
+    x = np.asarray(x_init, np.float64)
+    prev_x0, h_prev = None, None
+    for i, t in enumerate(seq):
+        a_t = acp[t]
+        a_prev = acp[seq[i + 1]] if i < len(seq) - 1 else 1.0
+        alpha_t, sigma_t = np.sqrt(a_t), np.sqrt(1 - a_t)
+        alpha_p, sigma_p = np.sqrt(a_prev), np.sqrt(1 - a_prev)
+        h = (np.log(alpha_p / sigma_p) - np.log(alpha_t / sigma_t)
+             if a_prev < 1.0 else np.inf)
+        exp_mh = (sigma_p / sigma_t) * (alpha_t / alpha_p) if a_prev < 1.0 else 0.0
+        eps = eps_fn(x, t)
+        x0 = (x - sigma_t * eps) / alpha_t
+        if clip:
+            x0 = np.clip(x0, -1, 1)
+        if prev_x0 is None or not np.isfinite(h):
+            d = x0
+        else:
+            c = h / (2 * h_prev)
+            d = (1 + c) * x0 - c * prev_x0
+        x = ((sigma_p / sigma_t) * exp_mh * x
+             + alpha_p * (1 - exp_mh**2) * d
+             + sigma_p * np.sqrt(1 - exp_mh**2) * noise_fn(i))
+        prev_x0, h_prev = x0, h
+    return x
+
+
+def test_dpm2m_sde_matches_numpy_oracle():
+    import jax
+
+    x_init = jax.random.normal(jax.random.PRNGKey(5), SHAPE)
+    cfg = SamplerConfig(method="dpm++2m-sde", num_steps=10, injection=False,
+                        final_blend=False)
+    key = jax.random.PRNGKey(1)
+    out = inpaint_sample(_eps_apply_fn, SCHED, cfg,
+                         gt=jnp.zeros(SHAPE), mask=jnp.ones(SHAPE[:-1] + (1,)),
+                         key=key, x_init=x_init)
+    # reproduce the sampler's per-step noise from its key derivation
+    _, step_key, _ = jax.random.split(key, 3)
+
+    def noise_fn(i):
+        return np.asarray(
+            jax.random.normal(jax.random.fold_in(step_key, i), SHAPE), np.float64
+        )
+
+    oracle = _numpy_dpm2m_sde_oracle(np.asarray(x_init), _eps_fn64, 10, noise_fn)
+    np.testing.assert_allclose(np.asarray(out), oracle, atol=2e-4)
+
+
+def test_dpm2m_sde_key_sensitivity_and_contracts():
+    gt = jnp.clip(jax.random.normal(jax.random.PRNGKey(3), SHAPE), -1, 1)
+    mask = jnp.zeros(SHAPE[:-1] + (1,)).at[:, 2:5, 2:5].set(1.0)
+    cfg = SamplerConfig(method="dpm++2m-sde", num_steps=8, injection=True)
+    a = inpaint_sample(_eps_apply_fn, SCHED, cfg, gt=gt, mask=mask,
+                       key=jax.random.PRNGKey(0))
+    b = inpaint_sample(_eps_apply_fn, SCHED, cfg, gt=gt, mask=mask,
+                       key=jax.random.PRNGKey(0))
+    c = inpaint_sample(_eps_apply_fn, SCHED, cfg, gt=gt, mask=mask,
+                       key=jax.random.PRNGKey(9))
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert not np.allclose(np.asarray(a), np.asarray(c))  # stochastic
+    assert np.all(np.isfinite(np.asarray(a)))
+    keep = np.asarray(1 - mask)[..., 0] > 0.5
+    np.testing.assert_array_equal(np.asarray(a)[keep], np.asarray(gt)[keep])
+
+
+def test_dpm2m_sde_unconditional_runs():
+    def apply_fn(x, t):
+        return jnp.concatenate([0.2 * x, jnp.zeros_like(x)], axis=-1)
+
+    cfg = SamplerConfig(method="dpm++2m-sde", num_steps=6, injection=False)
+    out = sample(apply_fn, SCHED, cfg, shape=SHAPE, key=jax.random.PRNGKey(0))
+    assert out.shape == SHAPE and np.all(np.isfinite(np.asarray(out)))
