@@ -73,10 +73,12 @@ def train_toy(steps=STEPS, cache_path=None, key=None):
     model = InpaintingUNet(CFG)
     if cache_path and os.path.exists(cache_path):
         with open(cache_path, "rb") as f:
-            np_params = pickle.load(f)
-        params = jax.tree_util.tree_map(jnp.asarray, np_params)
-        print(f"loaded toy params from {cache_path}")
-        return params, None, None
+            blob = pickle.load(f)
+        if isinstance(blob, dict) and blob.get("steps") == steps:
+            params = jax.tree_util.tree_map(jnp.asarray, blob["params"])
+            print(f"loaded toy params ({steps} steps) from {cache_path}")
+            return params, blob.get("first"), blob.get("last")
+        print(f"cache {cache_path} is for a different run config; retraining")
     b0 = synth_batch(key, 1)
     variables = model.init(key, b0["image"], jnp.zeros((1,), jnp.int32),
                            b0["masked_image"], b0["mask"])
@@ -98,7 +100,8 @@ def train_toy(steps=STEPS, cache_path=None, key=None):
     if cache_path:
         np_params = jax.tree_util.tree_map(np.asarray, state.params)
         with open(cache_path, "wb") as f:
-            pickle.dump(np_params, f)
+            pickle.dump({"steps": steps, "params": np_params,
+                         "first": first, "last": last}, f)
         print(f"saved toy params to {cache_path}")
     return state.params, first, last
 

@@ -36,7 +36,7 @@ def parse_args(argv=None):
     p.add_argument("--preset", default="ddim-100",
                    help="ddpm-1000 | ddpm-250 | ddpm-100 | ddim-30 | ddim-50 "
                         "| ddim-50-eta0.75 | ddim-100 | ddim-100-det | "
-                        "ddim-20-fast | dpm-25 | dpm-20 | dpm-20-fast")
+                        "ddim-20-fast | dpm-25 | dpm-20 | dpm-20-fast | dpm-25-sde")
     p.add_argument("--time_spacing", default=None,
                    choices=["uniform", "trailing", "lambda"],
                    help="how steps are placed on the chain (default: preset)")
@@ -107,7 +107,8 @@ def main(argv=None):
         args.ddim_timesteps = args.ddim_timesteps or 10
 
     sampler = SAMPLER_PRESETS[args.preset]
-    if args.ddim_timesteps is not None and sampler.method in ("ddim", "dpm++2m"):
+    if args.ddim_timesteps is not None and sampler.method in (
+            "ddim", "dpm++2m", "dpm++2m-sde"):
         sampler = dataclasses.replace(sampler, num_steps=args.ddim_timesteps)
     if args.eta is not None:
         sampler = dataclasses.replace(sampler, eta=args.eta)

@@ -179,9 +179,21 @@ def timestep_sequence(
     if spacing == "lambda":
         if alphas_cumprod is None:
             raise ValueError("lambda spacing requires alphas_cumprod")
+        if K > T:
+            raise ValueError(f"num_steps {K} > total_timesteps {T}")
         acp = np.asarray(alphas_cumprod, np.float64)
         lam = 0.5 * (np.log(acp) - np.log1p(-acp))
         targets = np.linspace(lam[T - 1], lam[0], K)
         idx = np.abs(lam[None, :] - targets[:, None]).argmin(axis=1)
-        return np.unique(idx)[::-1].copy()
+        # nearest-index picks can collide where log-SNR moves fast; force a
+        # strictly descending grid of exactly K steps (idx is descending in
+        # t: targets run from lam[T-1] up to lam[0])
+        out = np.empty(K, dtype=np.int64)
+        prev = T
+        for j, i in enumerate(idx):
+            i = min(int(i), prev - 1)   # strictly below the previous step
+            i = max(i, K - 1 - j)       # leave room for the remaining steps
+            out[j] = i
+            prev = i
+        return out
     raise ValueError(f"unknown spacing: {spacing}")

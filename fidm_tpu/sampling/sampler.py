@@ -188,6 +188,10 @@ def _dpm_tables(sched: DiffusionSchedule, cfg: SamplerConfig):
         base["coef_x"] = (sigma_p / sigma_t) * exp_mh
         base["coef_D"] = alpha_p * (1.0 - exp_mh**2)
         base["sde_noise"] = sigma_p * np.sqrt(1.0 - exp_mh**2)
+    # DDIM-only entries the dpm update never reads — keep them out of the
+    # device xs so the table contract is explicit
+    for unused in ("dir_coef", "sigma", "noise_gate", "sqrt_a_prev"):
+        del base[unused]
     return base
 
 
