@@ -33,6 +33,10 @@ def main():
                    default=["linear", "cosine", "quadratic"])
     p.add_argument("--steps", nargs="+", type=int, default=[30, 50, 100])
     p.add_argument("--etas", nargs="+", type=float, default=[0.0, 0.9])
+    p.add_argument("--methods", nargs="+", default=["ddim"],
+                   choices=["ddim", "ddpm", "dpm++2m", "dpm++2m-sde"])
+    p.add_argument("--time_spacing", default="uniform",
+                   choices=["uniform", "trailing", "lambda"])
     p.add_argument("--image_size", type=int, default=64)
     p.add_argument("--batch", type=int, default=8)
     p.add_argument("--diffusion_steps", type=int, default=1000)
@@ -53,34 +57,39 @@ def main():
     variables = model.init(jax.random.PRNGKey(0), gt[:1],
                            jnp.zeros((1,), jnp.int32), gt[:1], mask[:1])
 
-    print(f"{'schedule':>10} {'steps':>6} {'eta':>5} {'s/sample':>9} "
-          f"{'SSIM':>7} {'PSNR':>7}")
+    print(f"{'schedule':>10} {'method':>11} {'steps':>6} {'eta':>5} "
+          f"{'s/sample':>9} {'SSIM':>7} {'PSNR':>7}")
     for schedule in args.schedules:
         sched = DiffusionSchedule.create(schedule, args.diffusion_steps)
-        for steps in args.steps:
-            for eta in args.etas:
-                scfg = SamplerConfig(method="ddim", num_steps=steps, eta=eta,
-                                     injection=True)
+        for method in args.methods:
+            for steps in args.steps:
+                # eta only affects ddim; run the other methods once
+                for eta in (args.etas if method == "ddim" else args.etas[:1]):
+                    scfg = SamplerConfig(method=method, num_steps=steps,
+                                         eta=eta, injection=True,
+                                         time_spacing=args.time_spacing)
 
-                @jax.jit
-                def run(v, key):
-                    def afn(x, t, mi, m):
-                        return model.apply(v, x, t, mi, m)
+                    @jax.jit
+                    def run(v, key):
+                        def afn(x, t, mi, m):
+                            return model.apply(v, x, t, mi, m)
 
-                    return inpaint_sample(afn, sched, scfg, gt=gt, mask=mask,
-                                          key=key)
+                        return inpaint_sample(afn, sched, scfg, gt=gt,
+                                              mask=mask, key=key)
 
-                out = run(variables, jax.random.PRNGKey(1))
-                float(out[0, 0, 0, 0].sum())  # sync (compile)
-                t0 = time.perf_counter()
-                out = run(variables, jax.random.PRNGKey(2))
-                float(out[0, 0, 0, 0].sum())  # sync
-                dt = (time.perf_counter() - t0) / args.batch
-                g01, o01 = (gt + 1) / 2, (jnp.clip(out, -1, 1) + 1) / 2
-                print(f"{schedule:>10} {steps:>6} {eta:>5.2f} {dt:>9.4f} "
-                      f"{float(np.mean(np.asarray(ssim(g01, o01)))):>7.4f} "
-                      f"{float(np.mean(np.asarray(psnr(g01, o01)))):>7.2f}",
-                      flush=True)
+                    out = run(variables, jax.random.PRNGKey(1))
+                    float(out[0, 0, 0, 0].sum())  # sync (compile)
+                    t0 = time.perf_counter()
+                    out = run(variables, jax.random.PRNGKey(2))
+                    float(out[0, 0, 0, 0].sum())  # sync
+                    dt = (time.perf_counter() - t0) / args.batch
+                    g01 = (gt + 1) / 2
+                    o01 = (jnp.clip(out, -1, 1) + 1) / 2
+                    print(f"{schedule:>10} {method:>11} {steps:>6} "
+                          f"{eta:>5.2f} {dt:>9.4f} "
+                          f"{float(np.mean(np.asarray(ssim(g01, o01)))):>7.4f} "
+                          f"{float(np.mean(np.asarray(psnr(g01, o01)))):>7.2f}",
+                          flush=True)
 
 
 if __name__ == "__main__":
