@@ -8,8 +8,10 @@ vs_baseline is the speedup over the reference's DDIM-100 time/sample of
 (throughput is architecture+steps dependent, not weight dependent).
 
 Env overrides: FIDM_BENCH_BATCH (default 16), FIDM_BENCH_REPEATS (default 3),
-FIDM_BENCH_STEPS (default 100), FIDM_BENCH_METHOD (ddim | ddpm),
-FIDM_BENCH_ENCODER_CACHE (encoder-reuse period; 1 = exact sampling).
+FIDM_BENCH_STEPS (default 100), FIDM_BENCH_METHOD (ddim | ddpm | dpm++2m |
+dpm++2m-sde | repaint), FIDM_BENCH_ENCODER_CACHE (encoder-reuse period;
+1 = exact sampling), FIDM_BENCH_JUMP_LEN / FIDM_BENCH_JUMP_N (repaint
+time-travel parameters).
 """
 import json
 import os
@@ -49,6 +51,8 @@ def main():
             num_steps=None if (method == "ddpm" and steps >= 1000) else steps,
             eta=0.9, injection=True,
             encoder_cache_period=enc_cache,
+            jump_length=int(os.environ.get("FIDM_BENCH_JUMP_LEN", "10")),
+            jump_n_sample=int(os.environ.get("FIDM_BENCH_JUMP_N", "10")),
         ),
     )
     pipe = InpaintingPipeline.create(cfg)

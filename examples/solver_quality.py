@@ -62,6 +62,16 @@ def main():
                 rows.append((tag, db))
                 print(f"{tag:34s} {db:6.2f} dB", flush=True)
 
+    # RePaint time-travel resampling vs the plain ancestral chain at the
+    # same K (j*r rows cost ~r x the model evals of the r=1 baseline)
+    for K, j, r in ((25, 5, 1), (25, 5, 3), (25, 5, 5), (50, 10, 3)):
+        cfg = SamplerConfig(method="repaint", num_steps=K, jump_length=j,
+                            jump_n_sample=r, injection=True)
+        tag = f"repaint-{K}/j{j}r{r}"
+        db = hole_psnr(cfg)
+        rows.append((tag, db))
+        print(f"{tag:34s} {db:6.2f} dB", flush=True)
+
     best = max(rows, key=lambda r: r[1])
     print(f"\nbest: {best[0]} at {best[1]:.2f} dB")
 

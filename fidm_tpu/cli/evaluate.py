@@ -36,7 +36,8 @@ def parse_args(argv=None):
     p.add_argument("--preset", default="ddim-100",
                    help="ddpm-1000 | ddpm-250 | ddpm-100 | ddim-30 | ddim-50 "
                         "| ddim-50-eta0.75 | ddim-100 | ddim-100-det | "
-                        "ddim-20-fast | dpm-25 | dpm-20 | dpm-20-fast | dpm-25-sde")
+                        "ddim-20-fast | dpm-25 | dpm-20 | dpm-20-fast | "
+                        "dpm-25-sde | repaint-250 | repaint-100-light")
     p.add_argument("--time_spacing", default=None,
                    choices=["uniform", "trailing", "lambda"],
                    help="how steps are placed on the chain (default: preset)")
@@ -67,6 +68,10 @@ def parse_args(argv=None):
                         "run the encoder every k-th step, decoder-only in "
                         "between. 1 = exact sampling (presets may default "
                         "higher, e.g. ddim-20-fast)")
+    p.add_argument("--jump_length", type=int, default=None,
+                   help="RePaint time-travel jump size (repaint presets)")
+    p.add_argument("--jump_n_sample", type=int, default=None,
+                   help="RePaint resamplings per segment (1 = plain DDPM)")
     p.add_argument("--encoder_cache_tail", type=int, default=None,
                    help="always run the full model on the last N steps "
                         "(caching hurts most near t=0)")
@@ -108,8 +113,12 @@ def main(argv=None):
 
     sampler = SAMPLER_PRESETS[args.preset]
     if args.ddim_timesteps is not None and sampler.method in (
-            "ddim", "dpm++2m", "dpm++2m-sde"):
+            "ddim", "dpm++2m", "dpm++2m-sde", "repaint"):
         sampler = dataclasses.replace(sampler, num_steps=args.ddim_timesteps)
+    if args.jump_length is not None:
+        sampler = dataclasses.replace(sampler, jump_length=args.jump_length)
+    if args.jump_n_sample is not None:
+        sampler = dataclasses.replace(sampler, jump_n_sample=args.jump_n_sample)
     if args.eta is not None:
         sampler = dataclasses.replace(sampler, eta=args.eta)
     sampler = dataclasses.replace(

@@ -63,6 +63,18 @@ SAMPLER_PRESETS = {
                                 injection=True),
     "dpm-20-fast": SamplerConfig(method="dpm++2m", num_steps=20,
                                  injection=True, encoder_cache_period=2),
+    # RePaint time-travel resampling (arXiv:2201.09865): the reference's
+    # injection IS RePaint's conditioning step; these presets add the
+    # resampling loop it lacks, harmonizing hole content with the known
+    # region. repaint-250 is the paper's T=250/j=10/r=10 recipe
+    # (~2400 model evals — a quality ceiling, not a speed point);
+    # repaint-100-light is a practical ~290-eval middle ground.
+    "repaint-250": SamplerConfig(method="repaint", num_steps=250,
+                                 jump_length=10, jump_n_sample=10,
+                                 injection=True),
+    "repaint-100-light": SamplerConfig(method="repaint", num_steps=100,
+                                       jump_length=5, jump_n_sample=3,
+                                       injection=True),
 }
 
 

@@ -1,1 +1,6 @@
-from .sampler import SamplerConfig, inpaint_sample, sample
+from .sampler import (
+    SamplerConfig,
+    inpaint_sample,
+    repaint_level_sequence,
+    sample,
+)

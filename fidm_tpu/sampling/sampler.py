@@ -41,7 +41,8 @@ from ..diffusion.schedules import (
     timestep_sequence,
 )
 
-__all__ = ["SamplerConfig", "inpaint_sample", "sample", "host_alphas_cumprod"]
+__all__ = ["SamplerConfig", "inpaint_sample", "sample", "host_alphas_cumprod",
+           "repaint_level_sequence"]
 
 
 @dataclasses.dataclass(frozen=True)
@@ -72,6 +73,16 @@ class SamplerConfig:
     # Always run the full model on the last N steps regardless of period —
     # caching hurts most near t=0 where fine detail is resolved.
     encoder_cache_tail: int = 0
+    # RePaint time-travel resampling (method="repaint", arXiv:2201.09865).
+    # The reference's injection mechanism IS RePaint's conditioning step
+    # (`gaussian_diffusion.py:114-157`); these add the resampling loop it
+    # lacks: after each `jump_length` chain levels, jump back up
+    # `jump_length` levels (forward diffusion) and re-denoise, for
+    # `jump_n_sample` total passes per segment — harmonizing hole content
+    # with the known region at ~jump_n_sample x the model evaluations.
+    # jump_n_sample <= 1 degenerates to plain (respaced) DDPM.
+    jump_length: int = 10
+    jump_n_sample: int = 10
 
 
 def host_alphas_cumprod(sched: DiffusionSchedule) -> np.ndarray:
@@ -245,6 +256,98 @@ def _ddpm_tables(sched: DiffusionSchedule, cfg: SamplerConfig):
     }
 
 
+def repaint_level_sequence(K: int, jump_length: int,
+                           jump_n_sample: int) -> np.ndarray:
+    """RePaint time-travel visit order over K retained chain levels.
+
+    Level 0 is the noisiest retained step, K-1 the least noisy. Returns the
+    sequence of visited levels: denoising moves +1; at every
+    `jump_length`-th level the walk jumps back `jump_length` levels
+    (re-noising, one level at a time) and re-denoises, `jump_n_sample - 1`
+    extra times per jump site — our index-space equivalent of RePaint's
+    schedule-with-jumps (arXiv:2201.09865 §4.2). `jump_n_sample <= 1` or
+    `jump_length <= 0` degenerates to `arange(K)` (plain respaced DDPM).
+    """
+    if jump_length <= 0 or jump_n_sample <= 1 or K <= 1:
+        return np.arange(K)
+    jumps = {k: jump_n_sample - 1 for k in range(jump_length, K, jump_length)}
+    levels = [0]
+    k = 0
+    while k < K - 1:
+        k += 1
+        levels.append(k)
+        if jumps.get(k, 0) > 0:
+            jumps[k] -= 1
+            for _ in range(jump_length):
+                k -= 1
+                levels.append(k)
+    return np.asarray(levels, dtype=np.int64)
+
+
+def _repaint_tables(sched: DiffusionSchedule, cfg: SamplerConfig):
+    """Per-transition tables for RePaint (method="repaint").
+
+    Each row is one transition of the time-travel walk: either a *denoise*
+    step (one ancestral DDPM step along the respaced chain — row L of
+    `_ddpm_tables` encodes exactly the L -> L+1 transition, so those rows
+    are reused verbatim; with jump_n_sample <= 1 the tables are identical
+    to `_ddpm_tables` and the sampler is bit-equal to method="ddpm") or a
+    *renoise* step (one forward q step back up to the previous, noisier
+    level: x <- sqrt(acp_tgt/acp_cur) x + sqrt(1 - acp_tgt/acp_cur) z).
+    After a renoise, post-injection re-pins the known region at the target
+    level, mirroring RePaint's per-visit conditioning.
+    """
+    T = sched.num_timesteps
+    acp = host_alphas_cumprod(sched)
+    seq = _respaced_seq(sched, cfg, acp)
+    K = len(seq)
+    base = _ddpm_tables(sched, cfg)
+    levels = repaint_level_sequence(K, cfg.jump_length, cfg.jump_n_sample)
+    # transitions between consecutive visited levels, plus the final
+    # denoise from level K-1 to x0 (base row K-1; pseudo-level K = x0)
+    cur = np.append(levels[:-1], K - 1)
+    nxt = np.append(levels[1:], K)
+    down = nxt == cur + 1
+    up = ~down
+    assert (nxt[up] == cur[up] - 1).all(), "walk must move one level at a time"
+    N = len(cur)
+
+    rows = {}
+    # valid on every row, indexed by the current level
+    for k in ("t", "pre_inject_gate", "pre_inject_sqrt_a",
+              "pre_inject_sqrt_1ma"):
+        rows[k] = np.asarray(base[k])[cur]
+    # denoise-only fields (zeros on renoise rows; the lax.cond branch that
+    # would read them is never taken there)
+    for k in ("post_coef1", "post_coef2", "post_logvar", "log_beta",
+              "sqrt_a_t", "sqrt_one_minus_a_t", "noise_gate",
+              "inject_gate", "inject_sqrt_a", "inject_sqrt_1ma", "inject_t"):
+        v = np.asarray(base[k])
+        out = np.zeros(N, dtype=v.dtype)
+        out[down] = v[cur[down]]
+        rows[k] = out
+    # renoise rows: one forward q step to the noisier target level
+    a_cur = acp[seq[cur[up]]]
+    a_tgt = acp[seq[nxt[up]]]
+    ratio = a_tgt / a_cur
+    keep_ = np.zeros(N)
+    std_ = np.zeros(N)
+    keep_[up] = np.sqrt(ratio)
+    std_[up] = np.sqrt(1.0 - ratio)
+    rows["renoise_keep"] = keep_
+    rows["renoise_std"] = std_
+    # post-injection after a renoise pins the known region at the target
+    # level (always t > 0 there, so no t=0 gate needed)
+    t_tgt = seq[nxt[up]]
+    rows["inject_gate"][up] = _injection_gate(t_tgt, cfg.injection_schedule, T)
+    rows["inject_sqrt_a"][up] = np.sqrt(a_tgt)
+    rows["inject_sqrt_1ma"][up] = np.sqrt(1.0 - a_tgt)
+    rows["inject_t"][up] = t_tgt
+    rows["is_denoise"] = down.astype(np.int32)
+    rows["step"] = np.arange(N, dtype=np.int32)
+    return rows
+
+
 def _to_device_xs(tables, dtype=jnp.float32):
     return {
         k: jnp.asarray(v, dtype=jnp.int32 if v.dtype.kind == "i" else dtype)
@@ -366,6 +469,43 @@ def inpaint_sample(
 
     pre = cfg.injection and cfg.injection_point == "pre"
     post = cfg.injection and cfg.injection_point == "post"
+
+    if cfg.method == "repaint":
+        # time-travel walk: its own body — renoise transitions skip the
+        # model call entirely (lax.cond), so a jump costs only jump_length
+        # cheap q-steps, not model evaluations
+        if cfg.encoder_cache_period > 1:
+            raise ValueError(
+                "encoder_cache_period is not supported with method='repaint'"
+            )
+        xs = _to_device_xs(_repaint_tables(sched, cfg))
+
+        def repaint_body(x, s):
+            x = _maybe_pre_inject(x, s, gt, keep, inject_key, pre)
+
+            def denoise(xx):
+                t_full = jnp.full((B,), s["t"], jnp.int32)
+                out = apply_fn(xx, t_full, masked_image, mask)
+                mean, logvar = _ddpm_mean_logvar(out, xx, s, cfg)
+                noise = jax.random.normal(
+                    jax.random.fold_in(step_key, s["step"]), xx.shape, xx.dtype
+                )
+                return mean + s["noise_gate"] * jnp.exp(0.5 * logvar) * noise
+
+            def renoise(xx):
+                noise = jax.random.normal(
+                    jax.random.fold_in(step_key, s["step"]), xx.shape, xx.dtype
+                )
+                return s["renoise_keep"] * xx + s["renoise_std"] * noise
+
+            x = jax.lax.cond(s["is_denoise"] > 0, denoise, renoise, x)
+            x = _maybe_post_inject(x, s, gt, keep, inject_key, post)
+            return x, None
+
+        x, _ = jax.lax.scan(repaint_body, x, xs)
+        if cfg.final_blend:
+            x = x * mask + gt * keep
+        return x
 
     aux0 = None  # extra per-method carry (dpm++2m: previous x0 prediction)
     if cfg.method == "ddim":
@@ -497,6 +637,33 @@ def sample(
     init_key, step_key = jax.random.split(key)
     x = x_init if x_init is not None else jax.random.normal(init_key, shape)
     B = shape[0]
+
+    if cfg.method == "repaint":
+        if cfg.encoder_cache_period > 1:
+            raise ValueError(
+                "encoder_cache_period is not supported with method='repaint'"
+            )
+        xs = _to_device_xs(_repaint_tables(sched, cfg))
+
+        def repaint_body(x, s):
+            def denoise(xx):
+                out = apply_fn(xx, jnp.full((B,), s["t"], jnp.int32))
+                mean, logvar = _ddpm_mean_logvar(out, xx, s, cfg)
+                noise = jax.random.normal(
+                    jax.random.fold_in(step_key, s["step"]), xx.shape, xx.dtype
+                )
+                return mean + s["noise_gate"] * jnp.exp(0.5 * logvar) * noise
+
+            def renoise(xx):
+                noise = jax.random.normal(
+                    jax.random.fold_in(step_key, s["step"]), xx.shape, xx.dtype
+                )
+                return s["renoise_keep"] * xx + s["renoise_std"] * noise
+
+            return jax.lax.cond(s["is_denoise"] > 0, denoise, renoise, x), None
+
+        x, _ = jax.lax.scan(repaint_body, x, xs)
+        return x
 
     aux0 = None
     if cfg.method == "ddim":
