@@ -76,8 +76,34 @@ def _attention_pallas(q, k, v, interpret: bool = False):
     return out.reshape(b, h, s, d)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _attention_pallas_diff(q, k, v, interpret=False):
+    """Pallas forward with an XLA backward (the kernel itself has no VJP).
+
+    The backward differentiates the einsum reference — mathematically the
+    same function — recomputing the forward; attention is ~0.2% of a UNet
+    step here, so the recompute is free and training stays one jittable
+    program with the fused kernel on the forward pass.
+    """
+    return _attention_pallas(q, k, v, interpret)
+
+
+def _attention_diff_fwd(q, k, v, interpret):
+    return _attention_pallas(q, k, v, interpret), (q, k, v)
+
+
+def _attention_diff_bwd(interpret, res, g):
+    del interpret
+    q, k, v = res
+    _, vjp = jax.vjp(_attention_reference, q, k, v)
+    return vjp(g)
+
+
+_attention_pallas_diff.defvjp(_attention_diff_fwd, _attention_diff_bwd)
+
+
 def qkv_attention(q, k, v):
     """Multi-head attention over [B, H, S, D] tensors."""
     if use_pallas("attention") and q.shape[-1] % 64 == 0 and q.shape[-2] % 8 == 0:
-        return _attention_pallas(q, k, v)
+        return _attention_pallas_diff(q, k, v, False)
     return _attention_reference(q, k, v)

@@ -45,6 +45,29 @@ def test_attention_pallas_interpret_bf16():
     )
 
 
+def test_attention_pallas_grad_matches_reference():
+    """The custom VJP (Pallas forward, einsum backward) must produce the
+    reference gradients — this is the path real-architecture training takes
+    on TPU (head_dim 64); without it, value_and_grad through the kernel
+    fails outright."""
+    from fidm_tpu.ops.attention import _attention_pallas_diff
+
+    key = jax.random.PRNGKey(3)
+    q, k, v = jax.random.normal(key, (3, 2, 2, 16, 64), jnp.float32)
+    cot = jax.random.normal(jax.random.PRNGKey(4), (2, 2, 16, 64))
+
+    def loss_pal(q, k, v):
+        return jnp.sum(_attention_pallas_diff(q, k, v, True) * cot)
+
+    def loss_ref(q, k, v):
+        return jnp.sum(_attention_reference(q, k, v) * cot)
+
+    g_pal = jax.grad(loss_pal, argnums=(0, 1, 2))(q, k, v)
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(g_pal, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
 def test_registry_override():
     set_use_pallas(False)
     assert not use_pallas("attention")
