@@ -45,7 +45,12 @@ def main():
     enc_cache = int(os.environ.get("FIDM_BENCH_ENCODER_CACHE", "1"))
     baseline = BASELINES.get((method, steps), BASELINE_TIME_PER_SAMPLE)
 
+    from fidm_tpu.models import ffhq256_config
+
     cfg = PipelineConfig(
+        unet=ffhq256_config(
+            split_decoder_skips=os.environ.get("FIDM_BENCH_SPLIT_SKIPS") == "1",
+        ),
         sampler=SamplerConfig(
             method=method,
             num_steps=None if (method == "ddpm" and steps >= 1000) else steps,

@@ -21,6 +21,7 @@ from __future__ import annotations
 import math
 from typing import Optional
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -105,8 +106,88 @@ class Downsample(nn.Module):
         return nn.avg_pool(x, (2, 2), strides=(2, 2))
 
 
+class _RawParams(nn.Module):
+    """Declares a dict of raw parameters (name -> (shape, init)) so the
+    split-skip path below can reuse the exact parameter tree that the
+    standard `nn.GroupNorm`/`nn.Conv` modules create."""
+
+    specs: tuple  # ((name, shape, init), ...)
+
+    @nn.compact
+    def __call__(self):
+        return {n: self.param(n, init, shape, jnp.float32)
+                for n, shape, init in self.specs}
+
+
+class _GNParams(nn.Module):
+    """Parameter shim matching GroupNorm32's tree: <name>/GroupNorm_0/{scale,bias}."""
+
+    channels: int
+
+    @nn.compact
+    def __call__(self):
+        return _RawParams(
+            (("scale", (self.channels,), nn.initializers.ones),
+             ("bias", (self.channels,), nn.initializers.zeros)),
+            name="GroupNorm_0",
+        )()
+
+
+def _split_groupnorm_silu(a, b, scale, bias, num_groups=32, eps=1e-5):
+    """GroupNorm(32) + SiLU over the *virtual* concatenation [a | b] without
+    materializing it: group statistics are assembled from per-channel f32
+    partial sums of each half (groups may straddle the concat boundary),
+    then each half is normalized in place. Matches `nn.GroupNorm`'s
+    one-pass E[x^2] - E[x]^2 statistics with f32 reductions."""
+    B, H, W, Ca = a.shape
+    Cb = b.shape[-1]
+    C = Ca + Cb
+    assert C % num_groups == 0
+    n = H * W * (C // num_groups)
+
+    def csums(x):
+        x32 = x.astype(jnp.float32)  # fuses into the reductions below
+        return (jnp.sum(x32, axis=(1, 2)),
+                jnp.sum(jnp.square(x32), axis=(1, 2)))
+
+    sa, qa = csums(a)
+    sb, qb = csums(b)
+    s = jnp.concatenate([sa, sb], -1).reshape(B, num_groups, -1).sum(-1)
+    q = jnp.concatenate([qa, qb], -1).reshape(B, num_groups, -1).sum(-1)
+    mean = s / n
+    var = jnp.maximum(q / n - jnp.square(mean), 0.0)
+    inv = jax.lax.rsqrt(var + eps)
+    mean_c = jnp.repeat(mean, C // num_groups, -1)[:, None, None, :]  # [B,1,1,C]
+    inv_c = jnp.repeat(inv, C // num_groups, -1)[:, None, None, :]
+
+    def norm(x, lo, hi):
+        m = (inv_c[..., lo:hi] * scale[lo:hi]).astype(x.dtype)
+        o = (bias[lo:hi] - mean_c[..., lo:hi] * inv_c[..., lo:hi]
+             * scale[lo:hi]).astype(x.dtype)
+        return nn.silu(x * m + o)
+
+    return norm(a, 0, Ca), norm(b, Ca, C)
+
+
+def _conv_half(x, kernel, lo, hi, dtype, padding):
+    return jax.lax.conv_general_dilated(
+        x, kernel[:, :, lo:hi, :].astype(dtype), (1, 1), padding,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+
+
 class ResBlock(nn.Module):
-    """Timestep-conditioned residual block (`nn.py:136-212`)."""
+    """Timestep-conditioned residual block (`nn.py:136-212`).
+
+    When `skip` is given, the block computes the same function as
+    `__call__(concat([x, skip], -1), emb)` WITHOUT materializing the
+    concatenation: GroupNorm statistics are assembled across both halves
+    and the in/skip convolutions run as two half-kernel convs summed
+    (exact up to float reassociation). This removes the decoder's
+    skip-concat copies (~5% of step time in the device trace) while
+    keeping the parameter tree identical, so checkpoints work with both
+    paths.
+    """
 
     out_channels: Optional[int] = None
     dropout: float = 0.0
@@ -118,7 +199,10 @@ class ResBlock(nn.Module):
     deterministic: bool = True
 
     @nn.compact
-    def __call__(self, x, emb):
+    def __call__(self, x, emb, skip=None):
+        if skip is not None:
+            assert not (self.up or self.down or self.use_conv_skip)
+            return self._split_forward(x, skip, emb)
         out_ch = self.out_channels or x.shape[-1]
 
         h = GroupNorm32(dtype=self.dtype, name="in_norm")(x)
@@ -161,6 +245,57 @@ class ResBlock(nn.Module):
             skip = nn.Conv(out_ch, (1, 1), dtype=self.dtype,
                            param_dtype=jnp.float32, name="skip_conv")(x)
         return skip + h
+
+    def _split_forward(self, x, skip, emb):
+        """Same function as __call__(concat([x, skip]), emb), concat-free."""
+        Ca, Cb = x.shape[-1], skip.shape[-1]
+        C = Ca + Cb
+        out_ch = self.out_channels or C
+        assert out_ch != C, "identity residual would need the concat anyway"
+
+        gn = _GNParams(C, name="in_norm")()
+        a, b = _split_groupnorm_silu(x, skip, gn["scale"], gn["bias"])
+
+        conv_p = _RawParams(
+            (("kernel", (3, 3, C, out_ch), nn.initializers.lecun_normal()),
+             ("bias", (out_ch,), nn.initializers.zeros)),
+            name="in_conv",
+        )()
+        pad = ((1, 1), (1, 1))
+        h = (_conv_half(a, conv_p["kernel"], 0, Ca, self.dtype, pad)
+             + _conv_half(b, conv_p["kernel"], Ca, C, self.dtype, pad)
+             + conv_p["bias"].astype(self.dtype))
+
+        emb_out = nn.Dense(
+            2 * out_ch if self.use_scale_shift_norm else out_ch,
+            dtype=self.dtype, param_dtype=jnp.float32, name="emb_proj",
+        )(nn.silu(emb))
+        emb_out = emb_out[:, None, None, :].astype(h.dtype)
+
+        if self.use_scale_shift_norm:
+            scale, shift = jnp.split(emb_out, 2, axis=-1)
+            h = GroupNorm32(dtype=self.dtype, name="out_norm")(h)
+            h = h * (1 + scale) + shift
+        else:
+            h = h + emb_out
+            h = GroupNorm32(dtype=self.dtype, name="out_norm")(h)
+        h = nn.silu(h)
+        if self.dropout > 0:
+            h = nn.Dropout(self.dropout)(h, deterministic=self.deterministic)
+        h = nn.Conv(out_ch, (3, 3), padding=1, dtype=self.dtype,
+                    param_dtype=jnp.float32, kernel_init=nn.initializers.zeros,
+                    name="out_conv")(h)
+
+        skip_p = _RawParams(
+            (("kernel", (1, 1, C, out_ch), nn.initializers.lecun_normal()),
+             ("bias", (out_ch,), nn.initializers.zeros)),
+            name="skip_conv",
+        )()
+        kern = skip_p["kernel"][0, 0]  # [C, out_ch]
+        res = (jnp.einsum("bhwc,co->bhwo", x, kern[:Ca].astype(x.dtype))
+               + jnp.einsum("bhwc,co->bhwo", skip, kern[Ca:].astype(x.dtype))
+               + skip_p["bias"].astype(x.dtype))
+        return res + h
 
 
 class AttentionBlock(nn.Module):

@@ -55,6 +55,13 @@ class UNetConfig:
     resblock_updown: bool = True
     dtype: jnp.dtype = jnp.bfloat16
     remat: bool = False
+    # Decoder skip-connections without materializing the channel concat:
+    # each out_*_res block computes GroupNorm stats across both halves and
+    # runs its convolutions as two half-kernel convs summed — exactly the
+    # same function (up to float reassociation) on the same parameter
+    # tree. Opt-in perf experiment targeting the ~5% slice/copy share the
+    # device trace attributes to skip-concat materialization.
+    split_decoder_skips: bool = False
 
 
 def ffhq256_config(**overrides) -> UNetConfig:
@@ -172,12 +179,16 @@ class UNet(nn.Module):
             for i in range(cfg.num_res_blocks + 1):
                 skip = hs.pop()
                 input_block_chans.pop()
-                h = jnp.concatenate([h, skip.astype(h.dtype)], axis=-1)
                 ch = int(cfg.model_channels * mult)
-                h = block(out_channels=ch, dropout=cfg.dropout,
-                          use_scale_shift_norm=cfg.use_scale_shift_norm,
-                          deterministic=deterministic,
-                          dtype=dtype, name=f"out_{idx}_res")(h, emb)
+                res = block(out_channels=ch, dropout=cfg.dropout,
+                            use_scale_shift_norm=cfg.use_scale_shift_norm,
+                            deterministic=deterministic,
+                            dtype=dtype, name=f"out_{idx}_res")
+                if cfg.split_decoder_skips:
+                    h = res(h, emb, skip.astype(h.dtype))
+                else:
+                    h = res(jnp.concatenate([h, skip.astype(h.dtype)], -1),
+                            emb)
                 if ds in cfg.attention_resolutions:
                     h = attn(num_heads=heads_up,
                              num_head_channels=cfg.num_head_channels,
@@ -219,13 +230,14 @@ class InpaintingUNet(nn.Module):
     config: UNetConfig
 
     @nn.compact
-    def __call__(self, x, t, masked_image, mask, *, deterministic: bool = True,
+    def __call__(self, x, t, masked_image, mask, y=None, *,
+                 deterministic: bool = True,
                  cache=None, return_cache: bool = False):
         mask3 = jnp.broadcast_to(mask, mask.shape[:-1] + (3,))
         inp = jnp.concatenate(
             [x, masked_image.astype(x.dtype), mask3.astype(x.dtype)], axis=-1
         )
         return UNet(self.config, name="base")(
-            inp, t, deterministic=deterministic,
+            inp, t, y, deterministic=deterministic,
             cache=cache, return_cache=return_cache,
         )

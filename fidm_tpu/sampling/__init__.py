@@ -1,3 +1,4 @@
+from .cfg import classifier_free, drop_labels
 from .sampler import (
     SamplerConfig,
     inpaint_sample,

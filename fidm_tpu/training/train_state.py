@@ -71,12 +71,26 @@ def _loss_for_batch(
     use_injection,
     injection_schedule,
     vb_weight,
+    label_dropout=0.0,
+    null_label=None,
 ):
     t_key, loss_key = jax.random.split(jax.random.fold_in(key, 0))
     B = batch["image"].shape[0]
     t = jax.random.randint(t_key, (B,), 0, sched.num_timesteps)
 
+    # class-conditional training: pass batch labels through, optionally
+    # dropping a fraction to the null token (classifier-free guidance)
+    y = batch.get("label")
+    if y is not None and label_dropout > 0.0:
+        assert null_label is not None, "label_dropout requires null_label"
+        from ..sampling.cfg import drop_labels
+
+        y = drop_labels(jax.random.fold_in(key, 1), y, label_dropout,
+                        null_label)
+
     def model_fn(x_t, tt, masked_image, mask):
+        if y is not None:
+            return apply_fn({"params": params}, x_t, tt, masked_image, mask, y)
         return apply_fn({"params": params}, x_t, tt, masked_image, mask)
 
     terms = training_losses(
@@ -110,8 +124,15 @@ def make_train_step(
     donate: bool = True,
     param_transform: Optional[Callable] = None,
     ema_decay: Optional[float] = None,
+    label_dropout: float = 0.0,
+    null_label: Optional[int] = None,
 ):
     """Build the jitted (optionally mesh-sharded) train step.
+
+    If the batch contains a "label" array, it is passed to the model as `y`
+    (class-conditional training); `label_dropout` > 0 replaces labels with
+    `null_label` at that rate per step — classifier-free guidance training
+    (sampling-side counterpart: `sampling.cfg.classifier_free`).
 
     Returns step(state, batch, key) -> (state, metrics). `batch` is a dict of
     NHWC arrays {image, masked_image, mask}. The per-step RNG is derived from
@@ -134,6 +155,7 @@ def make_train_step(
                 loss_type=loss_type, var_type=var_type, mean_type=mean_type,
                 use_injection=use_injection,
                 injection_schedule=injection_schedule, vb_weight=vb_weight,
+                label_dropout=label_dropout, null_label=null_label,
             )
 
         (loss, terms), grads = jax.value_and_grad(loss_fn, has_aux=True)(

@@ -57,3 +57,127 @@ def test_condition_score_manual_recomputation():
     # variance untouched
     np.testing.assert_array_equal(np.asarray(out.variance),
                                   np.asarray(pmv.variance))
+
+
+# ------------------------------------------- classifier-FREE guidance (ours)
+
+def test_classifier_free_scale_limits():
+    """scale=1 -> conditional model; scale=0 -> unconditional model; the
+    learned-variance channels always come from the conditional branch."""
+    from fidm_tpu.sampling import classifier_free
+
+    NULL = 5
+
+    def apply_fn(x, t, mi, m, y):
+        # eps depends on the label; var channel marks conditionality
+        eps = x[..., :3] * (1.0 + y[:, None, None, None])
+        var = jnp.full_like(eps, -1.0) * (y != NULL)[:, None, None, None]
+        return jnp.concatenate([eps, var], axis=-1)
+
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 4, 4, 3))
+    t = jnp.array([3, 7])
+    mi = jnp.zeros_like(x)
+    m = jnp.ones(x.shape[:-1] + (1,))
+    y = jnp.array([1, 2])
+
+    cond = apply_fn(x, t, mi, m, y)
+    uncond = apply_fn(x, t, mi, m, jnp.full_like(y, NULL))
+
+    w1 = classifier_free(apply_fn, y=y, null_label=NULL, scale=1.0)(x, t, mi, m)
+    np.testing.assert_allclose(np.asarray(w1), np.asarray(cond), atol=1e-6)
+
+    w0 = classifier_free(apply_fn, y=y, null_label=NULL, scale=0.0)(x, t, mi, m)
+    np.testing.assert_allclose(np.asarray(w0[..., :3]),
+                               np.asarray(uncond[..., :3]), atol=1e-6)
+    # var channels from the conditional branch even at scale 0
+    np.testing.assert_allclose(np.asarray(w0[..., 3:]),
+                               np.asarray(cond[..., 3:]), atol=1e-6)
+
+    w3 = classifier_free(apply_fn, y=y, null_label=NULL, scale=3.0)(x, t, mi, m)
+    expected = uncond[..., :3] + 3.0 * (cond[..., :3] - uncond[..., :3])
+    np.testing.assert_allclose(np.asarray(w3[..., :3]), np.asarray(expected),
+                               atol=1e-5)
+
+
+def test_classifier_free_with_class_conditional_unet_in_sampler():
+    """End to end: a tiny class-conditional InpaintingUNet sampled through
+    inpaint_sample with the CFG wrapper — jits, finite, known pixels kept."""
+    from fidm_tpu.models import InpaintingUNet, UNetConfig
+    from fidm_tpu.sampling import SamplerConfig, classifier_free, inpaint_sample
+
+    C = 3  # real classes; embedding has C+1 rows, index C = null token
+    cfg = UNetConfig(image_size=8, in_channels=9, model_channels=32,
+                     out_channels=6, num_res_blocks=1,
+                     attention_resolutions=(), channel_mult=(1, 2),
+                     num_heads=2, num_head_channels=16, num_classes=C + 1,
+                     dtype=jnp.float32)
+    model = InpaintingUNet(cfg)
+    B = 2
+    gt = jnp.clip(jax.random.normal(jax.random.PRNGKey(0), (B, 8, 8, 3)) * 0.4,
+                  -1, 1)
+    mask = jnp.zeros((B, 8, 8, 1)).at[:, 2:6, 2:6].set(1.0)
+    y = jnp.array([0, 2])
+    variables = model.init(jax.random.PRNGKey(1), gt, jnp.zeros((B,), jnp.int32),
+                           gt, mask, y)
+
+    apply = classifier_free(
+        lambda x, t, mi, m, yy: model.apply(variables, x, t, mi, m, yy),
+        y=y, null_label=C, scale=2.5)
+
+    scfg = SamplerConfig(method="ddim", num_steps=6, eta=0.0, injection=True)
+
+    @jax.jit
+    def run(key):
+        return inpaint_sample(apply, DiffusionSchedule.create("linear", 50),
+                              scfg, gt=gt, mask=mask, key=key)
+
+    out = np.asarray(run(jax.random.PRNGKey(2)))
+    keep = np.asarray(mask)[..., 0] < 0.5
+    np.testing.assert_array_equal(out[keep], np.asarray(gt)[keep])
+    assert np.isfinite(out).all()
+
+
+def test_drop_labels():
+    from fidm_tpu.sampling import drop_labels
+
+    y = jnp.arange(1000) % 7
+    k = jax.random.PRNGKey(0)
+    np.testing.assert_array_equal(np.asarray(drop_labels(k, y, 0.0, 99)),
+                                  np.asarray(y))
+    assert (np.asarray(drop_labels(k, y, 1.0, 99)) == 99).all()
+    d = np.asarray(drop_labels(k, y, 0.1, 99))
+    frac = (d == 99).mean()
+    assert 0.05 < frac < 0.2
+    np.testing.assert_array_equal(d, np.asarray(drop_labels(k, y, 0.1, 99)))
+
+
+def test_train_step_with_labels_and_dropout():
+    """make_train_step passes batch['label'] and applies CFG dropout."""
+    from fidm_tpu.models import InpaintingUNet, UNetConfig
+    from fidm_tpu.training import TrainState, make_optimizer, make_train_step
+    from fidm_tpu.training.lr import make_lr_schedule
+
+    C = 4
+    cfg = UNetConfig(image_size=8, in_channels=9, model_channels=32,
+                     out_channels=6, num_res_blocks=1,
+                     attention_resolutions=(), channel_mult=(1, 2),
+                     num_heads=2, num_head_channels=16, num_classes=C + 1,
+                     dtype=jnp.float32)
+    model = InpaintingUNet(cfg)
+    B = 2
+    img = jnp.zeros((B, 8, 8, 3))
+    mask = jnp.ones((B, 8, 8, 1))
+    y = jnp.array([1, 3])
+    variables = model.init(jax.random.PRNGKey(0), img,
+                           jnp.zeros((B,), jnp.int32), img, mask, y)
+    state = TrainState.create(
+        apply_fn=lambda v, *a: model.apply(v, *a),
+        params=variables["params"],
+        tx=make_optimizer(make_lr_schedule("cosine", 1e-4, 10, 2)),
+    )
+    step = make_train_step(DiffusionSchedule.create("linear", 50),
+                           label_dropout=0.5, null_label=C)
+    batch = {"image": img, "masked_image": img * (1 - mask), "mask": mask,
+             "label": y}
+    state, metrics = step(state, batch, jax.random.PRNGKey(1))
+    assert np.isfinite(float(metrics["loss"]))

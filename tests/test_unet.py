@@ -143,3 +143,59 @@ def test_canonical_config_structure():
     # parameter count in the ADM-256 ballpark
     total = sum(np.prod(v.shape) for v in jax.tree_util.tree_leaves(shapes))
     assert 50e6 < total < 300e6
+
+
+# ---------------------------------------------------------- split-skip path
+
+def test_split_decoder_skips_param_tree_identical():
+    """split_decoder_skips=True must create the exact same parameter tree
+    (names + shapes), so checkpoints work with either path."""
+    import dataclasses
+
+    x = jnp.zeros((1, 16, 16, 3))
+    t = jnp.zeros((1,), jnp.int32)
+    p_cat = UNet(TINY).init(jax.random.PRNGKey(0), x, t)
+    p_split = UNet(dataclasses.replace(TINY, split_decoder_skips=True)).init(
+        jax.random.PRNGKey(0), x, t)
+    flat_cat = jax.tree_util.tree_flatten_with_path(p_cat)[0]
+    flat_split = jax.tree_util.tree_flatten_with_path(p_split)[0]
+    keys_cat = {jax.tree_util.keystr(k): v.shape for k, v in flat_cat}
+    keys_split = {jax.tree_util.keystr(k): v.shape for k, v in flat_split}
+    assert keys_cat == keys_split
+
+
+def test_split_decoder_skips_matches_concat_path():
+    """Same params, same inputs: the concat-free decoder must compute the
+    same function as the concatenating one (float reassociation only)."""
+    import dataclasses
+
+    model_cat = UNet(TINY)
+    model_split = UNet(dataclasses.replace(TINY, split_decoder_skips=True))
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 16, 16, 3)) * 0.5
+    t = jnp.array([10, 500])
+    params = model_cat.init(jax.random.PRNGKey(0), x, t)
+    # non-degenerate weights for the zero-initialized convs
+    params = jax.tree_util.tree_map(
+        lambda v: v + 0.01 * np.random.default_rng(0).standard_normal(v.shape)
+        .astype(v.dtype),
+        params,
+    )
+    with jax.default_matmul_precision("highest"):
+        a = model_cat.apply(params, x, t)
+        b = model_split.apply(params, x, t)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                               atol=2e-4, rtol=1e-4)
+
+
+def test_split_decoder_skips_bf16_close():
+    import dataclasses
+
+    cfg16 = dataclasses.replace(TINY, dtype=jnp.bfloat16)
+    model_cat = UNet(cfg16)
+    model_split = UNet(dataclasses.replace(cfg16, split_decoder_skips=True))
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 16, 16, 3)) * 0.5
+    t = jnp.array([10, 500])
+    params = model_cat.init(jax.random.PRNGKey(0), x, t)
+    a = np.asarray(model_cat.apply(params, x, t), np.float32)
+    b = np.asarray(model_split.apply(params, x, t), np.float32)
+    np.testing.assert_allclose(a, b, atol=5e-2)
