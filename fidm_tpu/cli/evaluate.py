@@ -83,6 +83,9 @@ def parse_args(argv=None):
                         "(test_inpainting_better.py:865-889)")
     p.add_argument("--save_images", action="store_true", default=True)
     p.add_argument("--no_save_images", dest="save_images", action="store_false")
+    p.add_argument("--use_ema", action="store_true",
+                   help="evaluate the EMA parameters when the orbax "
+                        "checkpoint carries them (training --ema_decay)")
     p.add_argument("--lpips_alexnet", default=None,
                    help="path to torchvision AlexNet .pth for real LPIPS")
     p.add_argument("--lpips_lin", default=None,
@@ -159,10 +162,13 @@ def main(argv=None):
 
         pipe = InpaintingPipeline.create(config,
                                          key=jax.random.PRNGKey(args.seed))
-        params = CheckpointManager(ckpt).restore_params("best" if os.path.isdir(
-            os.path.join(ckpt, "best")) else "latest")
+        params = CheckpointManager(ckpt).restore_params(
+            "best" if os.path.isdir(os.path.join(ckpt, "best")) else "latest",
+            prefer_ema=args.use_ema,
+        )
         pipe.variables = {"params": params}
-        print(f"loaded orbax params from {ckpt}")
+        print(f"loaded orbax params from {ckpt}"
+              + (" (EMA)" if args.use_ema else ""))
     elif ckpt and ckpt.endswith(".npz"):
         from ..quant import dequantize_params
         from .quantize import load_quantized

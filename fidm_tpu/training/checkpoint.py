@@ -111,20 +111,30 @@ class CheckpointManager:
         )
         return restored["state"], restored["meta"]
 
-    def restore_params(self, which: str = "latest"):
+    def restore_params(self, which: str = "latest", prefer_ema: bool = False):
         """Restore only the model params pytree (for evaluation), without
-        needing the optimizer/TrainState structure."""
+        needing the optimizer/TrainState structure.
+
+        With prefer_ema=True, return the exponential-moving-average
+        parameters when the checkpoint carries them (training ran with
+        `ema_decay`) — the standard eval weights for diffusion models —
+        falling back to the raw params otherwise."""
         if which == "best":
             state = self._best.restore(os.path.join(self.directory, "best"))
-            return state["params"]
-        step = self.latest_step() if which == "latest" else int(which)
-        if step is None:
-            raise FileNotFoundError(f"no checkpoints in {self.directory}")
-        restored = self._mgr.restore(
-            step,
-            args=ocp.args.Composite(state=ocp.args.StandardRestore()),
-        )
-        return restored["state"]["params"]
+        else:
+            step = self.latest_step() if which == "latest" else int(which)
+            if step is None:
+                raise FileNotFoundError(f"no checkpoints in {self.directory}")
+            restored = self._mgr.restore(
+                step,
+                args=ocp.args.Composite(state=ocp.args.StandardRestore()),
+            )
+            state = restored["state"]
+        if prefer_ema:
+            ema = state.get("ema_params")
+            if ema:  # None / {} when training ran without EMA
+                return ema
+        return state["params"]
 
     def close(self):
         self._mgr.close()

@@ -8,6 +8,8 @@ prefetcher so the TPU never waits on PIL.
 """
 from __future__ import annotations
 
+import contextlib
+import signal
 import time
 from dataclasses import dataclass
 from typing import Callable, Optional
@@ -18,7 +20,38 @@ import numpy as np
 from ..parallel.mesh import batch_sharding
 from .early_stopping import EarlyStopping
 
-__all__ = ["train_epoch", "validate", "fit", "FitConfig"]
+__all__ = ["train_epoch", "validate", "fit", "FitConfig", "GracefulShutdown"]
+
+
+class GracefulShutdown:
+    """Cooperative SIGTERM/SIGINT handling for preemptible TPU workers.
+
+    The reference has no preemption story (SURVEY §5: no elasticity); on
+    TPU pods preemption is routine. The first signal only sets a flag that
+    the training loop checks between steps — the in-flight jitted step
+    completes, `fit` saves an emergency checkpoint, and returns cleanly so
+    `--resume latest` continues after rescheduling. A second signal falls
+    through to a hard KeyboardInterrupt.
+    """
+
+    def __init__(self):
+        self.requested = False
+        self._orig = {}
+
+    def __enter__(self):
+        for sig in (signal.SIGTERM, signal.SIGINT):
+            self._orig[sig] = signal.signal(sig, self._handle)
+        return self
+
+    def _handle(self, signum, frame):
+        if self.requested:
+            raise KeyboardInterrupt(f"second signal {signum}: hard stop")
+        self.requested = True
+
+    def __exit__(self, *exc):
+        for sig, handler in self._orig.items():
+            signal.signal(sig, handler)
+        return False
 
 
 def _device_batches(loader, mesh):
@@ -32,10 +65,11 @@ def _device_batches(loader, mesh):
 
 
 def train_epoch(state, train_step, loader, key, mesh=None, log_every=50,
-                log_fn=print):
+                log_fn=print, should_stop: Optional[Callable] = None):
     """One epoch; returns (state, mean_loss). Loss is fetched asynchronously
     (only the final mean forces a sync, unlike the reference's per-step
-    `loss.item()` at `train_inpainting.py:68`)."""
+    `loss.item()` at `train_inpainting.py:68`). `should_stop()` is checked
+    between steps (preemption, see GracefulShutdown)."""
     losses = []
     start = time.time()
     n = 0
@@ -48,6 +82,8 @@ def train_epoch(state, train_step, loader, key, mesh=None, log_every=50,
                 f"  step {n}: loss={float(np.mean(jax.device_get(losses[-log_every:]))):.5f} "
                 f"({(time.time()-start)/n:.3f}s/step)"
             )
+        if should_stop is not None and should_stop():
+            break
     mean_loss = float(np.mean(jax.device_get(losses))) if losses else float("nan")
     return state, mean_loss
 
@@ -67,6 +103,8 @@ class FitConfig:
     early_stopping_min_delta: float = 0.0
     keep_last_n: int = 3
     log_fn: Callable = print
+    # catch SIGTERM/SIGINT, checkpoint, and return cleanly (TPU preemption)
+    handle_preemption: bool = True
 
 
 def fit(
@@ -92,35 +130,54 @@ def fit(
         if cfg.early_stopping_patience > 0
         else None
     )
+    shutdown = GracefulShutdown() if cfg.handle_preemption else None
     history = []
-    for epoch in range(start_epoch, cfg.num_epochs):
-        t0 = time.time()
-        ekey = jax.random.fold_in(key, epoch)
-        state, train_loss = train_epoch(
-            state, train_step, train_loader, ekey, mesh, log_fn=cfg.log_fn
-        )
-        val_loss = validate(state, eval_step, val_loader,
-                            jax.random.fold_in(ekey, 10_000), mesh)
-        dt = time.time() - t0
-        history.append(
-            {"epoch": epoch, "train_loss": train_loss, "val_loss": val_loss,
-             "seconds": dt}
-        )
-        cfg.log_fn(
-            f"epoch {epoch}: train={train_loss:.5f} val={val_loss:.5f} ({dt:.1f}s)"
-        )
-        if checkpoint_manager is not None:
-            meta = dict(metadata or {})
-            meta.update({"epoch": epoch, "train_loss": train_loss})
-            is_best = checkpoint_manager.save(
-                epoch, state, metadata=meta, val_loss=val_loss
+    with shutdown if shutdown is not None else contextlib.nullcontext():
+        for epoch in range(start_epoch, cfg.num_epochs):
+            t0 = time.time()
+            ekey = jax.random.fold_in(key, epoch)
+            state, train_loss = train_epoch(
+                state, train_step, train_loader, ekey, mesh, log_fn=cfg.log_fn,
+                should_stop=(lambda: shutdown.requested) if shutdown else None,
             )
-            if is_best:
-                cfg.log_fn(f"  new best (val={val_loss:.5f})")
-        if stopper is not None:
-            stop, best_params = stopper.update(val_loss, state.params)
-            if stop:
-                cfg.log_fn(f"early stopping at epoch {epoch}")
-                state = state.replace(params=best_params)
+            if shutdown is not None and shutdown.requested:
+                cfg.log_fn(
+                    f"preemption signal at epoch {epoch} — saving checkpoint "
+                    "and exiting (resume with --resume latest)"
+                )
+                history.append(
+                    {"epoch": epoch, "train_loss": train_loss,
+                     "val_loss": float("nan"),
+                     "seconds": time.time() - t0, "preempted": True}
+                )
+                if checkpoint_manager is not None:
+                    meta = dict(metadata or {})
+                    meta.update({"epoch": epoch, "train_loss": train_loss,
+                                 "preempted": True})
+                    checkpoint_manager.save(epoch, state, metadata=meta)
                 break
+            val_loss = validate(state, eval_step, val_loader,
+                                jax.random.fold_in(ekey, 10_000), mesh)
+            dt = time.time() - t0
+            history.append(
+                {"epoch": epoch, "train_loss": train_loss, "val_loss": val_loss,
+                 "seconds": dt}
+            )
+            cfg.log_fn(
+                f"epoch {epoch}: train={train_loss:.5f} val={val_loss:.5f} ({dt:.1f}s)"
+            )
+            if checkpoint_manager is not None:
+                meta = dict(metadata or {})
+                meta.update({"epoch": epoch, "train_loss": train_loss})
+                is_best = checkpoint_manager.save(
+                    epoch, state, metadata=meta, val_loss=val_loss
+                )
+                if is_best:
+                    cfg.log_fn(f"  new best (val={val_loss:.5f})")
+            if stopper is not None:
+                stop, best_params = stopper.update(val_loss, state.params)
+                if stop:
+                    cfg.log_fn(f"early stopping at epoch {epoch}")
+                    state = state.replace(params=best_params)
+                    break
     return state, history

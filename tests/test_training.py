@@ -196,3 +196,84 @@ def test_loss_scale_dynamics():
     st3 = st3._replace(scale=st.scale)
     st4, _, _ = unscale_grads(st3._replace(growth_counter=jnp.asarray(1)), grads)
     assert float(st4.scale) == float(st.scale) * 2.0
+
+
+def test_graceful_shutdown_flag_and_second_signal():
+    import signal as _signal
+
+    from fidm_tpu.training import GracefulShutdown
+
+    with GracefulShutdown() as g:
+        assert not g.requested
+        os.kill(os.getpid(), _signal.SIGTERM)
+        assert g.requested  # first signal: cooperative flag only
+        with pytest.raises(KeyboardInterrupt):
+            os.kill(os.getpid(), _signal.SIGTERM)  # second: hard stop
+    # context exit restores the previous handlers
+    assert _signal.getsignal(_signal.SIGTERM) is not g._handle
+
+
+def test_fit_preemption_saves_and_exits(tmp_path):
+    """SIGTERM mid-epoch: the in-flight step finishes, a checkpoint tagged
+    preempted=True is written, and fit returns instead of training on."""
+    import signal as _signal
+
+    from fidm_tpu.training import FitConfig, fit, make_eval_step
+
+    _, state = _make_state()
+    step = make_train_step(SCHED, donate=False)
+    calls = {"n": 0}
+
+    def step_with_preempt(state, batch, key):
+        calls["n"] += 1
+        if calls["n"] == 2:
+            os.kill(os.getpid(), _signal.SIGTERM)
+        return step(state, batch, key)
+
+    batches = [_batch(jax.random.PRNGKey(i)) for i in range(5)]
+    mgr = CheckpointManager(str(tmp_path / "ck"))
+    state, history = fit(
+        state, step_with_preempt, make_eval_step(SCHED),
+        batches, batches[:1], jax.random.PRNGKey(0),
+        FitConfig(num_epochs=3, log_fn=lambda *a: None),
+        checkpoint_manager=mgr,
+    )
+    assert len(history) == 1 and history[0].get("preempted") is True
+    assert calls["n"] == 2  # stopped right after the in-flight step
+    abstract = jax.tree_util.tree_map(
+        lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), state
+    )
+    _, meta = mgr.restore("latest", abstract)
+    assert meta["preempted"] is True
+    mgr.close()
+
+
+def test_restore_params_prefer_ema(tmp_path):
+    _, state = _make_state()
+    ema = jax.tree_util.tree_map(lambda p: p + 1.0, state.params)
+    state = state.replace(ema_params=ema)
+    mgr = CheckpointManager(str(tmp_path / "ck"))
+    mgr.save(0, state, metadata={})
+    got_ema = mgr.restore_params("latest", prefer_ema=True)
+    got_raw = mgr.restore_params("latest", prefer_ema=False)
+    np.testing.assert_array_equal(
+        np.asarray(jax.tree_util.tree_leaves(got_ema)[0]),
+        np.asarray(jax.tree_util.tree_leaves(ema)[0]),
+    )
+    np.testing.assert_array_equal(
+        np.asarray(jax.tree_util.tree_leaves(got_raw)[0]),
+        np.asarray(jax.tree_util.tree_leaves(state.params)[0]),
+    )
+    mgr.close()
+
+
+def test_restore_params_prefer_ema_falls_back_without_ema(tmp_path):
+    _, state = _make_state()
+    mgr = CheckpointManager(str(tmp_path / "ck2"))
+    mgr.save(0, state, metadata={})
+    got = mgr.restore_params("latest", prefer_ema=True)
+    np.testing.assert_array_equal(
+        np.asarray(jax.tree_util.tree_leaves(got)[0]),
+        np.asarray(jax.tree_util.tree_leaves(state.params)[0]),
+    )
+    mgr.close()
