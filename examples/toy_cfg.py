@@ -105,7 +105,9 @@ def main():
             SamplerConfig(method="ddim", num_steps=50, eta=0.0,
                           injection=False, final_blend=False),
             gt=gt, mask=mask, key=jax.random.PRNGKey(7))
-        mean_color = np.asarray(out).mean(axis=(1, 2))  # [N, 3]
+        # reduce on device: the tunnel makes large device->host transfers
+        # very slow (CLAUDE.md), so only the [N, 3] means come back
+        mean_color = np.asarray(out.mean(axis=(1, 2)))
         return float((mean_color.argmax(-1) == np.asarray(labels)).mean())
 
     accs = {s: accuracy(s) for s in (0.0, 1.0, 3.0, 7.5)}

@@ -170,6 +170,9 @@ def main(argv=None):
         print(f"loaded orbax params from {ckpt}"
               + (" (EMA)" if args.use_ema else ""))
     elif ckpt and ckpt.endswith(".npz"):
+        if args.use_ema:
+            print("WARNING: --use_ema ignored — int8 .npz checkpoints carry "
+                  "no EMA parameters (only orbax training checkpoints do)")
         from ..quant import dequantize_params
         from .quantize import load_quantized
 
@@ -178,6 +181,9 @@ def main(argv=None):
         pipe.variables = {"params": dequantize_params(load_quantized(ckpt))}
         print(f"loaded int8-quantized params from {ckpt}")
     else:
+        if args.use_ema:
+            print("WARNING: --use_ema ignored — only orbax training "
+                  "checkpoints carry EMA parameters")
         pipe = InpaintingPipeline.create(config, checkpoint=ckpt,
                                          key=jax.random.PRNGKey(args.seed))
     if args.quantize == "int8":

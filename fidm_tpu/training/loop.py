@@ -39,6 +39,13 @@ class GracefulShutdown:
         self._orig = {}
 
     def __enter__(self):
+        import threading
+
+        # signal.signal only works on the main thread; degrade to a no-op
+        # flag holder elsewhere (fit() in a worker thread keeps working,
+        # just without preemption handling)
+        if threading.current_thread() is not threading.main_thread():
+            return self
         for sig in (signal.SIGTERM, signal.SIGINT):
             self._orig[sig] = signal.signal(sig, self._handle)
         return self
@@ -58,8 +65,9 @@ def _device_batches(loader, mesh):
     from ..data.prefetch import device_prefetch
 
     sharding = batch_sharding(mesh) if mesh is not None else None
+    keys = ("image", "masked_image", "mask", "label")
     arrays_only = (
-        {k: b[k] for k in ("image", "masked_image", "mask")} for b in loader
+        {k: b[k] for k in keys if k in b} for b in loader
     )
     return device_prefetch(arrays_only, size=2, sharding=sharding)
 
@@ -152,7 +160,14 @@ def fit(
                 )
                 if checkpoint_manager is not None:
                     meta = dict(metadata or {})
-                    meta.update({"epoch": epoch, "train_loss": train_loss,
+                    # record the last COMPLETED epoch so `--resume latest`
+                    # (start_epoch = meta["epoch"] + 1) redoes the
+                    # interrupted epoch instead of silently skipping its
+                    # untrained remainder; train_loss covers only the
+                    # partial epoch
+                    meta.update({"epoch": epoch - 1,
+                                 "interrupted_epoch": epoch,
+                                 "partial_train_loss": train_loss,
                                  "preempted": True})
                     checkpoint_manager.save(epoch, state, metadata=meta)
                 break

@@ -187,10 +187,11 @@ def make_train_step(
 
     # State keeps whatever placement the caller gave it (replicated, or
     # fsdp-sharded via parallel.shard_params); only the batch is re-sharded.
-    batch_sh = {k: batch_sharding(mesh) for k in ("image", "masked_image", "mask")}
+    # A single sharding acts as a pytree prefix for the whole batch dict, so
+    # any batch keys (incl. rank-1 "label") shard along axis 0.
     return jax.jit(
         step,
-        in_shardings=(None, batch_sh, replicated(mesh)),
+        in_shardings=(None, batch_sharding(mesh), replicated(mesh)),
         donate_argnums=(0,) if donate else (),
     )
 
@@ -223,5 +224,6 @@ def make_eval_step(
 
     if mesh is None:
         return jax.jit(step)
-    batch_sh = {k: batch_sharding(mesh) for k in ("image", "masked_image", "mask")}
-    return jax.jit(step, in_shardings=(None, batch_sh, replicated(mesh)))
+    return jax.jit(
+        step, in_shardings=(None, batch_sharding(mesh), replicated(mesh))
+    )

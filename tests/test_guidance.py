@@ -181,3 +181,67 @@ def test_train_step_with_labels_and_dropout():
              "label": y}
     state, metrics = step(state, batch, jax.random.PRNGKey(1))
     assert np.isfinite(float(metrics["loss"]))
+
+
+def test_labeled_training_through_fit_and_mesh():
+    """Regression (code-review findings): labeled batches must survive the
+    fit() loader path (which previously stripped 'label') and the
+    mesh-sharded train step (whose in_shardings previously hardcoded the
+    3 unlabeled keys)."""
+    from fidm_tpu.models import InpaintingUNet, UNetConfig
+    from fidm_tpu.parallel import create_mesh
+    from fidm_tpu.training import (
+        FitConfig,
+        TrainState,
+        fit,
+        make_eval_step,
+        make_optimizer,
+        make_train_step,
+    )
+    from fidm_tpu.training.lr import make_lr_schedule
+
+    C = 4
+    cfg = UNetConfig(image_size=8, in_channels=9, model_channels=32,
+                     out_channels=6, num_res_blocks=1,
+                     attention_resolutions=(), channel_mult=(1, 2),
+                     num_heads=2, num_head_channels=16, num_classes=C + 1,
+                     dtype=jnp.float32)
+    model = InpaintingUNet(cfg)
+    B = 8
+    img = jnp.zeros((B, 8, 8, 3))
+    mask = jnp.ones((B, 8, 8, 1))
+    y = jnp.arange(B) % C
+    variables = model.init(jax.random.PRNGKey(0), img,
+                           jnp.zeros((B,), jnp.int32), img, mask, y)
+
+    def make_state():
+        return TrainState.create(
+            apply_fn=lambda v, *a: model.apply(v, *a),
+            params=variables["params"],
+            tx=make_optimizer(make_lr_schedule("cosine", 1e-4, 10, 2)),
+        )
+
+    batch = {"image": img, "masked_image": img * (1 - mask), "mask": mask,
+             "label": y}
+    sched = DiffusionSchedule.create("linear", 20)
+
+    # 1. through fit(): the loader path must pass 'label' along
+    step = make_train_step(sched, donate=False, label_dropout=0.25,
+                           null_label=C)
+    _, history = fit(make_state(), step, make_eval_step(sched),
+                     [batch, batch], [batch], jax.random.PRNGKey(0),
+                     FitConfig(num_epochs=1, log_fn=lambda *a: None,
+                               handle_preemption=False))
+    assert np.isfinite(history[0]["train_loss"])
+    assert np.isfinite(history[0]["val_loss"])
+
+    # 2. mesh-sharded step with a labeled batch
+    mesh = create_mesh()
+    with mesh:
+        mstep = make_train_step(sched, mesh=mesh, donate=False,
+                                label_dropout=0.25, null_label=C)
+        state, metrics = mstep(make_state(), batch, jax.random.PRNGKey(1))
+        assert np.isfinite(float(metrics["loss"]))
+        meval = make_eval_step(sched, mesh=mesh)
+        assert np.isfinite(float(meval(state, batch,
+                                       jax.random.PRNGKey(2))["loss"]))

@@ -245,6 +245,9 @@ def test_fit_preemption_saves_and_exits(tmp_path):
     )
     _, meta = mgr.restore("latest", abstract)
     assert meta["preempted"] is True
+    # resume accounting: the interrupted epoch is NOT marked completed, so
+    # `--resume latest` (start_epoch = meta["epoch"] + 1) redoes it
+    assert meta["epoch"] == -1 and meta["interrupted_epoch"] == 0
     mgr.close()
 
 
