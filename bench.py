@@ -50,6 +50,7 @@ def main():
     cfg = PipelineConfig(
         unet=ffhq256_config(
             split_decoder_skips=os.environ.get("FIDM_BENCH_SPLIT_SKIPS") == "1",
+            image_size=int(os.environ.get("FIDM_BENCH_IMAGE_SIZE", "256")),
         ),
         sampler=SamplerConfig(
             method=method,
@@ -94,7 +95,7 @@ def main():
     time_per_sample = dt / (repeats * batch)
     imgs_per_sec = 1.0 / time_per_sample
     result = {
-        "metric": f"256^2 inpainted images/sec/chip ({method.upper()}-{steps})",
+        "metric": f"{S}^2 inpainted images/sec/chip ({method.upper()}-{steps})",
         "value": round(imgs_per_sec, 4),
         "unit": "img/s",
         "vs_baseline": round(baseline / time_per_sample, 3),
