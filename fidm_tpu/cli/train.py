@@ -66,6 +66,10 @@ def parse_args(argv=None):
                    help="fsdp axis size (1 = pure data parallel)")
     p.add_argument("--ema_decay", type=float, default=0.0,
                    help=">0 maintains an EMA of the params (e.g. 0.9999)")
+    p.add_argument("--accum_steps", type=int, default=1,
+                   help="gradient-accumulation microbatches per optimizer "
+                        "step (batch_size must be divisible); activation "
+                        "memory scales with batch/accum_steps")
     args, _ = p.parse_known_args(argv)
     if args.config:
         import json as _json
@@ -161,6 +165,7 @@ def main(argv=None):
         injection_schedule=args.injection_schedule, vb_weight=args.vb_weight,
         param_transform=param_transform,
         ema_decay=args.ema_decay if args.ema_decay > 0 else None,
+        accum_steps=args.accum_steps,
     )
     eval_step = make_eval_step(
         sched, mesh=mesh, use_injection=not args.no_injection,

@@ -16,6 +16,7 @@ from __future__ import annotations
 from typing import Any, Callable, Optional
 
 import jax
+import jax.numpy as jnp
 import optax
 from flax.training import train_state
 from jax.sharding import Mesh
@@ -126,6 +127,7 @@ def make_train_step(
     ema_decay: Optional[float] = None,
     label_dropout: float = 0.0,
     null_label: Optional[int] = None,
+    accum_steps: int = 1,
 ):
     """Build the jitted (optionally mesh-sharded) train step.
 
@@ -133,6 +135,14 @@ def make_train_step(
     (class-conditional training); `label_dropout` > 0 replaces labels with
     `null_label` at that rate per step — classifier-free guidance training
     (sampling-side counterpart: `sampling.cfg.classifier_free`).
+
+    `accum_steps` > 1 enables gradient accumulation: the batch is split
+    into that many microbatches along axis 0, gradients are averaged over
+    a `lax.scan` of forward/backward passes, and ONE optimizer update is
+    applied — activation memory scales with the microbatch, so effective
+    batch sizes beyond HBM limits become possible (combine with
+    `UNetConfig.remat` for the largest). Each microbatch draws its own
+    timesteps/noise (distinct fold of the step key).
 
     Returns step(state, batch, key) -> (state, metrics). `batch` is a dict of
     NHWC arrays {image, masked_image, mask}. The per-step RNG is derived from
@@ -143,24 +153,66 @@ def make_train_step(
     apply — e.g. `lambda lora: merge_lora(base_params, lora)` for LoRA, where
     `state.params` holds only the low-rank factors and the base stays frozen.
     """
+    assert accum_steps >= 1
 
     def step(state: TrainState, batch, key):
         key = jax.random.fold_in(key, state.step)
 
-        def loss_fn(params):
+        def loss_fn(params, mb, k):
             if param_transform is not None:
                 params = param_transform(params)
             return _loss_for_batch(
-                params, state.apply_fn, sched, batch, key,
+                params, state.apply_fn, sched, mb, k,
                 loss_type=loss_type, var_type=var_type, mean_type=mean_type,
                 use_injection=use_injection,
                 injection_schedule=injection_schedule, vb_weight=vb_weight,
                 label_dropout=label_dropout, null_label=null_label,
             )
 
-        (loss, terms), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params
-        )
+        grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+        if accum_steps == 1:
+            (loss, terms), grads = grad_fn(state.params, batch, key)
+        else:
+            B = batch["image"].shape[0]
+            assert B % accum_steps == 0, (
+                f"batch {B} not divisible by accum_steps {accum_steps}"
+            )
+            micro = jax.tree_util.tree_map(
+                lambda x: x.reshape((accum_steps, B // accum_steps)
+                                    + x.shape[1:]),
+                batch,
+            )
+            keys = jax.random.split(key, accum_steps)
+
+            def accum_body(acc, xs):
+                mb, k = xs
+                (l, t), g = grad_fn(state.params, mb, k)
+                acc_g, acc_l, acc_t = acc
+                return (
+                    jax.tree_util.tree_map(jnp.add, acc_g, g),
+                    acc_l + l,
+                    jax.tree_util.tree_map(jnp.add, acc_t, t),
+                ), None
+
+            # zero-init accumulators with the body's exact output structure
+            # (eval_shape only traces, so the fwd/bwd compiles once, inside
+            # the scan)
+            (lt_shape, g_shape) = jax.eval_shape(
+                grad_fn, state.params,
+                jax.tree_util.tree_map(lambda x: x[0], micro), keys[0],
+            )
+            zeros = lambda tree: jax.tree_util.tree_map(  # noqa: E731
+                lambda sd: jnp.zeros(sd.shape, sd.dtype), tree
+            )
+            (grads, loss, terms), _ = jax.lax.scan(
+                accum_body,
+                (zeros(g_shape), zeros(lt_shape[0]), zeros(lt_shape[1])),
+                (micro, keys),
+            )
+            inv = 1.0 / accum_steps
+            grads = jax.tree_util.tree_map(lambda g: g * inv, grads)
+            loss = loss * inv
+            terms = jax.tree_util.tree_map(lambda t: t * inv, terms)
         grad_norm = optax.global_norm(grads)
         new_state = state.apply_gradients(grads=grads)
         if ema_decay is not None and state.ema_params is not None:

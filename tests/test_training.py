@@ -280,3 +280,58 @@ def test_restore_params_prefer_ema_falls_back_without_ema(tmp_path):
         np.asarray(jax.tree_util.tree_leaves(state.params)[0]),
     )
     mgr.close()
+
+
+def test_gradient_accumulation_matches_manual_average():
+    """accum_steps=2 must equal averaging the two microbatch gradients
+    (computed with the same per-microbatch keys) and applying ONE update."""
+    from fidm_tpu.training.train_state import _loss_for_batch
+
+    _, state = _make_state(1e-3)
+    batch = _batch(jax.random.PRNGKey(1), B=4)
+    key = jax.random.PRNGKey(5)
+
+    step2 = make_train_step(SCHED, donate=False, accum_steps=2)
+    new_state, metrics = step2(state, batch, key)
+    assert np.isfinite(float(metrics["loss"]))
+
+    # manual reference
+    stepkey = jax.random.fold_in(key, state.step)
+    keys = jax.random.split(stepkey, 2)
+    halves = [
+        {k: v[:2] for k, v in batch.items()},
+        {k: v[2:] for k, v in batch.items()},
+    ]
+
+    from fidm_tpu.diffusion import LossType, ModelMeanType, ModelVarType
+
+    def loss_fn(params, mb, k):
+        return _loss_for_batch(
+            params, state.apply_fn, SCHED, mb, k,
+            loss_type=LossType.MSE, var_type=ModelVarType.LEARNED_RANGE,
+            mean_type=ModelMeanType.EPSILON,
+            use_injection=True, injection_schedule="all", vb_weight=0.0,
+        )[0]
+
+    g0 = jax.grad(loss_fn)(state.params, halves[0], keys[0])
+    g1 = jax.grad(loss_fn)(state.params, halves[1], keys[1])
+    grads = jax.tree_util.tree_map(lambda a, b: (a + b) / 2.0, g0, g1)
+    manual = state.apply_gradients(grads=grads)
+    for a, b in zip(jax.tree_util.tree_leaves(new_state.params),
+                    jax.tree_util.tree_leaves(manual.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-6, rtol=1e-5)
+
+
+def test_gradient_accumulation_trains_and_validates_divisibility():
+    _, state = _make_state(1e-3)
+    step = make_train_step(SCHED, donate=False, accum_steps=2)
+    batch = _batch(jax.random.PRNGKey(1), B=4)
+    losses = []
+    for _ in range(6):
+        state, metrics = step(state, batch, jax.random.PRNGKey(42))
+        losses.append(float(metrics["loss"]))
+    assert losses[-1] < losses[0]
+
+    with pytest.raises(AssertionError, match="not divisible"):
+        step(state, _batch(jax.random.PRNGKey(2), B=3), jax.random.PRNGKey(0))
