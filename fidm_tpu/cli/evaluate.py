@@ -62,6 +62,12 @@ def parse_args(argv=None):
     p.add_argument("--no_blend", action="store_true")
     p.add_argument("--injection_schedule", default="all",
                    choices=["all", "high", "low"])
+    p.add_argument("--mean_type", default="epsilon",
+                   choices=["epsilon", "xstart", "velocity"],
+                   help="model output parameterization (the reference "
+                        "factory's predict_xstart flag, "
+                        "utils/schedules.py:69-106; velocity = distilled "
+                        "students)")
     p.add_argument("--quantize", default="none", choices=["none", "int8"])
     p.add_argument("--encoder_cache", type=int, default=None,
                    help="UNet encoder-reuse period (Faster-Diffusion style); "
@@ -124,11 +130,17 @@ def main(argv=None):
         sampler = dataclasses.replace(sampler, jump_n_sample=args.jump_n_sample)
     if args.eta is not None:
         sampler = dataclasses.replace(sampler, eta=args.eta)
+    from ..diffusion import ModelMeanType
+
+    mean_type = {"epsilon": ModelMeanType.EPSILON,
+                 "xstart": ModelMeanType.START_X,
+                 "velocity": ModelMeanType.VELOCITY}[args.mean_type]
     sampler = dataclasses.replace(
         sampler,
         injection=not args.no_injection,
         injection_schedule=args.injection_schedule,
         final_blend=not args.no_blend,
+        mean_type=mean_type,
     )
     if args.time_spacing is not None:
         sampler = dataclasses.replace(sampler, time_spacing=args.time_spacing)

@@ -55,6 +55,10 @@ def parse_args(argv=None):
                    choices=["all", "high", "low"])
     p.add_argument("--vb_weight", type=float, default=0.0,
                    help="hybrid MSE+VLB weight (0 = pure masked MSE)")
+    p.add_argument("--mean_type", default="epsilon",
+                   choices=["epsilon", "xstart", "velocity"],
+                   help="training parameterization (the reference factory's "
+                        "predict_xstart flag; velocity = v-prediction)")
     p.add_argument("--early_stopping_patience", type=int, default=0)
     p.add_argument("--keep_last_n", type=int, default=3)
     p.add_argument("--resume", default=None, help="latest | best | <step>")
@@ -160,9 +164,15 @@ def main(argv=None):
 
         state = state.replace(ema_params=init_ema(train_params))
 
+    from ..diffusion import ModelMeanType
+
+    mean_type = {"epsilon": ModelMeanType.EPSILON,
+                 "xstart": ModelMeanType.START_X,
+                 "velocity": ModelMeanType.VELOCITY}[args.mean_type]
     train_step = make_train_step(
         sched, mesh=mesh, use_injection=not args.no_injection,
         injection_schedule=args.injection_schedule, vb_weight=args.vb_weight,
+        mean_type=mean_type,
         param_transform=param_transform,
         ema_decay=args.ema_decay if args.ema_decay > 0 else None,
         accum_steps=args.accum_steps,
@@ -170,6 +180,7 @@ def main(argv=None):
     eval_step = make_eval_step(
         sched, mesh=mesh, use_injection=not args.no_injection,
         injection_schedule=args.injection_schedule, vb_weight=args.vb_weight,
+        mean_type=mean_type,
         param_transform=param_transform,
     )
 
