@@ -30,6 +30,8 @@ def main():
     p.add_argument("--image_size", type=int, default=256)
     p.add_argument("--remat", action="store_true",
                    help="activation checkpointing (bigger batches)")
+    p.add_argument("--accum", type=int, default=1,
+                   help="gradient-accumulation microbatches")
     args = p.parse_args()
 
     from fidm_tpu.diffusion import DiffusionSchedule
@@ -56,7 +58,7 @@ def main():
         apply_fn=lambda v, *a: model.apply(v, *a),
         params=variables["params"], tx=tx,
     )
-    step = make_train_step(sched)
+    step = make_train_step(sched, accum_steps=args.accum)
 
     t0 = time.perf_counter()
     state, metrics = step(state, batch, key)
@@ -73,7 +75,9 @@ def main():
 
     per_step = dt / args.steps
     print(f"compile {compile_s:.1f} s   loss0 {loss0:.4f} -> {final:.4f}")
-    print(f"train step ({S}^2, batch {B}{', remat' if args.remat else ''}): "
+    tags = (", remat" if args.remat else "") + (
+        f", accum {args.accum}" if args.accum > 1 else "")
+    print(f"train step ({S}^2, batch {B}{tags}): "
           f"{per_step * 1e3:.1f} ms/step = {B / per_step:.2f} img/s/chip")
 
 
