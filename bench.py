@@ -98,7 +98,10 @@ def main():
         "metric": f"{S}^2 inpainted images/sec/chip ({method.upper()}-{steps})",
         "value": round(imgs_per_sec, 4),
         "unit": "img/s",
-        "vs_baseline": round(baseline / time_per_sample, 3),
+        # reference times are all 256^2; a cross-resolution ratio would be
+        # meaningless
+        "vs_baseline": (round(baseline / time_per_sample, 3)
+                        if S == 256 else None),
         "time_per_sample_s": round(time_per_sample, 4),
         "batch": batch,
         "backend": jax.default_backend(),

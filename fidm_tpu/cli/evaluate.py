@@ -132,9 +132,7 @@ def main(argv=None):
         sampler = dataclasses.replace(sampler, eta=args.eta)
     from ..diffusion import ModelMeanType
 
-    mean_type = {"epsilon": ModelMeanType.EPSILON,
-                 "xstart": ModelMeanType.START_X,
-                 "velocity": ModelMeanType.VELOCITY}[args.mean_type]
+    mean_type = ModelMeanType.from_name(args.mean_type)
     sampler = dataclasses.replace(
         sampler,
         injection=not args.no_injection,

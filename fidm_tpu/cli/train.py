@@ -166,9 +166,7 @@ def main(argv=None):
 
     from ..diffusion import ModelMeanType
 
-    mean_type = {"epsilon": ModelMeanType.EPSILON,
-                 "xstart": ModelMeanType.START_X,
-                 "velocity": ModelMeanType.VELOCITY}[args.mean_type]
+    mean_type = ModelMeanType.from_name(args.mean_type)
     train_step = make_train_step(
         sched, mesh=mesh, use_injection=not args.no_injection,
         injection_schedule=args.injection_schedule, vb_weight=args.vb_weight,

@@ -60,6 +60,12 @@ class ModelMeanType(enum.Enum):
     EPSILON = enum.auto()
     VELOCITY = enum.auto()
 
+    @classmethod
+    def from_name(cls, name: str) -> "ModelMeanType":
+        """CLI-name mapping shared by train/evaluate (one source of truth)."""
+        return {"epsilon": cls.EPSILON, "xstart": cls.START_X,
+                "velocity": cls.VELOCITY, "xprev": cls.PREVIOUS_X}[name]
+
 
 class ModelVarType(enum.Enum):
     """How variance is parameterized (reference `losses.py:19-26`)."""

@@ -86,7 +86,15 @@ class UNet(nn.Module):
         `(out, (h_mid, skips))` so a key step can publish its features.
         """
         cfg = self.config
-        assert (y is not None) == (cfg.num_classes is not None)
+        if (y is not None) != (cfg.num_classes is not None):
+            raise ValueError(
+                f"labels and num_classes must come together: y is "
+                f"{'set' if y is not None else 'None'} but num_classes="
+                f"{cfg.num_classes}. For unconditional training with a "
+                "label-bearing loader, pass use_labels=False to "
+                "make_train_step/make_eval_step (or drop 'label' from the "
+                "batch)."
+            )
         dtype = cfg.dtype
         heads_up = (
             cfg.num_heads if cfg.num_heads_upsample == -1 else cfg.num_heads_upsample

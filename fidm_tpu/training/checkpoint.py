@@ -59,6 +59,11 @@ class CheckpointManager:
         meta = dict(metadata or {})
         if val_loss is not None:
             meta["val_loss"] = float(val_loss)
+        # re-saving a step overwrites it (orbax raises StepAlreadyExists
+        # otherwise) — happens legitimately when a preempted epoch is
+        # redone after resume, or on a second preemption in the same epoch
+        if step in self._mgr.all_steps():
+            self._mgr.delete(step)
         self._mgr.save(
             step,
             args=ocp.args.Composite(

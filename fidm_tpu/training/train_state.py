@@ -74,14 +74,16 @@ def _loss_for_batch(
     vb_weight,
     label_dropout=0.0,
     null_label=None,
+    use_labels=True,
 ):
     t_key, loss_key = jax.random.split(jax.random.fold_in(key, 0))
     B = batch["image"].shape[0]
     t = jax.random.randint(t_key, (B,), 0, sched.num_timesteps)
 
     # class-conditional training: pass batch labels through, optionally
-    # dropping a fraction to the null token (classifier-free guidance)
-    y = batch.get("label")
+    # dropping a fraction to the null token (classifier-free guidance);
+    # use_labels=False ignores a label-bearing loader (unconditional model)
+    y = batch.get("label") if use_labels else None
     if y is not None and label_dropout > 0.0:
         assert null_label is not None, "label_dropout requires null_label"
         from ..sampling.cfg import drop_labels
@@ -127,6 +129,7 @@ def make_train_step(
     ema_decay: Optional[float] = None,
     label_dropout: float = 0.0,
     null_label: Optional[int] = None,
+    use_labels: bool = True,
     accum_steps: int = 1,
 ):
     """Build the jitted (optionally mesh-sharded) train step.
@@ -135,6 +138,8 @@ def make_train_step(
     (class-conditional training); `label_dropout` > 0 replaces labels with
     `null_label` at that rate per step — classifier-free guidance training
     (sampling-side counterpart: `sampling.cfg.classifier_free`).
+    `use_labels=False` ignores a label-bearing loader (for unconditional
+    models whose datasets carry class metadata anyway).
 
     `accum_steps` > 1 enables gradient accumulation: the batch is split
     into that many microbatches along axis 0, gradients are averaged over
@@ -167,6 +172,7 @@ def make_train_step(
                 use_injection=use_injection,
                 injection_schedule=injection_schedule, vb_weight=vb_weight,
                 label_dropout=label_dropout, null_label=null_label,
+                use_labels=use_labels,
             )
 
         grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
@@ -259,6 +265,7 @@ def make_eval_step(
     vb_weight: float = 0.0,
     mesh: Optional[Mesh] = None,
     param_transform: Optional[Callable] = None,
+    use_labels: bool = True,
 ):
     """Validation loss step (`train_inpainting.py:82-131`), jitted."""
 
@@ -271,6 +278,7 @@ def make_eval_step(
             loss_type=loss_type, var_type=var_type, mean_type=mean_type,
             use_injection=use_injection,
             injection_schedule=injection_schedule, vb_weight=vb_weight,
+            use_labels=use_labels,
         )
         return {"loss": loss, "mse": terms.get("mse", loss)}
 

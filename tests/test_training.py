@@ -335,3 +335,63 @@ def test_gradient_accumulation_trains_and_validates_divisibility():
 
     with pytest.raises(AssertionError, match="not divisible"):
         step(state, _batch(jax.random.PRNGKey(2), B=3), jax.random.PRNGKey(0))
+
+
+def test_preemption_resume_roundtrip(tmp_path):
+    """Full preempt -> resume -> finish cycle: the redone epoch re-saves at
+    the same step id (orbax would raise StepAlreadyExists without the
+    overwrite handling in CheckpointManager.save)."""
+    import signal as _signal
+
+    from fidm_tpu.training import FitConfig, fit, make_eval_step
+
+    _, state = _make_state()
+    step = make_train_step(SCHED, donate=False)
+    batches = [_batch(jax.random.PRNGKey(i)) for i in range(3)]
+    mgr = CheckpointManager(str(tmp_path / "ck"))
+
+    calls = {"n": 0}
+
+    def step_with_preempt(state, batch, key):
+        calls["n"] += 1
+        if calls["n"] == 2:
+            os.kill(os.getpid(), _signal.SIGTERM)
+        return step(state, batch, key)
+
+    state1, _ = fit(state, step_with_preempt, make_eval_step(SCHED),
+                    batches, batches[:1], jax.random.PRNGKey(0),
+                    FitConfig(num_epochs=2, log_fn=lambda *a: None),
+                    checkpoint_manager=mgr)
+
+    abstract = jax.tree_util.tree_map(
+        lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), state1
+    )
+    restored, meta = mgr.restore("latest", abstract)
+    start_epoch = meta["epoch"] + 1  # cli/train.py resume convention
+    assert start_epoch == 0  # the interrupted epoch is redone
+
+    # resumed run: same epoch numbering, completes and re-saves step 0
+    # (and step 1) without StepAlreadyExists
+    state2, history = fit(restored, step, make_eval_step(SCHED),
+                          batches, batches[:1], jax.random.PRNGKey(0),
+                          FitConfig(num_epochs=2, log_fn=lambda *a: None),
+                          checkpoint_manager=mgr, start_epoch=start_epoch)
+    assert [h["epoch"] for h in history] == [0, 1]
+    assert mgr.latest_step() == 1
+    mgr.close()
+
+
+def test_use_labels_false_ignores_label_key():
+    """An unconditional model trained from a label-bearing loader works
+    with use_labels=False (and fails with a clear error without it)."""
+    _, state = _make_state()
+    batch = _batch(jax.random.PRNGKey(1))
+    batch["label"] = jnp.zeros((2,), jnp.int32)
+
+    step = make_train_step(SCHED, donate=False, use_labels=False)
+    _, metrics = step(state, batch, jax.random.PRNGKey(0))
+    assert np.isfinite(float(metrics["loss"]))
+
+    with pytest.raises(ValueError, match="num_classes"):
+        make_train_step(SCHED, donate=False)(state, batch,
+                                             jax.random.PRNGKey(0))
