@@ -206,3 +206,19 @@ def test_export_torch_cli_roundtrip(data_tree, tmp_path):
     for x, y in zip(a, b):
         np.testing.assert_allclose(np.asarray(x, np.float32),
                                    np.asarray(y, np.float32), atol=1e-6)
+
+
+def test_evaluate_cli_repaint_preset(data_tree, tmp_path):
+    """RePaint preset through the CLI: small walk (j=2, r=2 at 10 levels)."""
+    from fidm_tpu.cli.evaluate import main
+
+    img_dir, mask_dir = data_tree
+    results = main([
+        "--data_dir", img_dir, "--mask_dir", mask_dir,
+        "--output_dir", str(tmp_path / "rp"), "--quick_test",
+        "--preset", "repaint-100-light", "--ddim_timesteps", "10",
+        "--jump_length", "2", "--jump_n_sample", "2",
+        "--diffusion_steps", "100", "--no_save_images", *TINY_MODEL,
+    ])
+    assert results["preset"] == "repaint-100-light"
+    assert np.isfinite(results["ssim_mean"])
