@@ -35,7 +35,7 @@ BASELINE_TIME_PER_SAMPLE = BASELINES[("ddim", 100)]
 
 
 def main():
-    from fidm_tpu.pipeline import InpaintingPipeline, PipelineConfig, SAMPLER_PRESETS
+    from fidm_tpu.pipeline import InpaintingPipeline, PipelineConfig
     from fidm_tpu.sampling import SamplerConfig
 
     batch = int(os.environ.get("FIDM_BENCH_BATCH", "16"))
