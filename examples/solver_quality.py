@@ -29,6 +29,10 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--train_steps", type=int, default=3000)
     p.add_argument("--cache", default="/tmp/fidm_toy_params_{}.pkl")
+    p.add_argument("--brush_masks", action="store_true",
+                   help="irregular brush-stroke masks (~36%% coverage) "
+                        "instead of the easy box masks — the regime where "
+                        "RePaint resampling shows its full gain")
     args = p.parse_args()
 
     sched = DiffusionSchedule.create("cosine", T)
@@ -40,6 +44,16 @@ def main():
         return model.apply({"params": params}, x, t, mi, m)
 
     test = synth_batch(jax.random.PRNGKey(999), 16)
+    if args.brush_masks:
+        from fidm_tpu.data.masks import random_brush_mask
+
+        rng = np.random.default_rng(3)
+        S = test["image"].shape[1]
+        brush = np.stack([random_brush_mask(rng, S, coverage=(0.25, 0.45))
+                          for _ in range(16)])
+        test["mask"] = jnp.asarray(brush.reshape(16, S, S, 1), jnp.float32)
+        test["masked_image"] = test["image"] * (1 - test["mask"])
+        print(f"brush masks, coverage {float(test['mask'].mean()):.2f}")
     hole = test["mask"]
     gt01 = (test["image"] + 1) / 2
 
