@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 from typing import Optional
 
 import orbax.checkpoint as ocp
@@ -27,9 +28,11 @@ class CheckpointManager:
 
     def __init__(self, directory: str, keep_last_n: int = 3):
         self.directory = os.path.abspath(directory)
+        self._steps_root = os.path.join(self.directory, "steps")
         os.makedirs(self.directory, exist_ok=True)
+        self._recover_interrupted_overwrite()
         self._mgr = ocp.CheckpointManager(
-            os.path.join(self.directory, "steps"),
+            self._steps_root,
             options=ocp.CheckpointManagerOptions(
                 max_to_keep=keep_last_n, create=True, enable_async_checkpointing=False
             ),
@@ -49,6 +52,39 @@ class CheckpointManager:
         except (OSError, KeyError, ValueError):
             pass
 
+    # -- crash-safe overwrite ------------------------------------------------
+    # Re-saving a step happens legitimately when a preempted epoch is redone
+    # after resume. A plain delete-then-save leaves a window where a second
+    # crash destroys the only checkpoint at that step, so the old step dir is
+    # first *renamed* aside (atomic), the new one saved (orbax writes via
+    # tmp+rename), and only then the backup dropped. An interrupted overwrite
+    # is rolled forward or back on the next manager construction.
+    def _backup_root(self) -> str:
+        return os.path.join(self.directory, "overwrite_backup")
+
+    def _recover_interrupted_overwrite(self):
+        root = self._backup_root()
+        if not os.path.isdir(root):
+            return
+        for name in os.listdir(root):
+            dst = os.path.join(self._steps_root, name)
+            if os.path.exists(dst):  # new save finished; backup is stale
+                shutil.rmtree(os.path.join(root, name), ignore_errors=True)
+            else:  # crashed mid-overwrite: restore the old checkpoint
+                os.rename(os.path.join(root, name), dst)
+        shutil.rmtree(root, ignore_errors=True)
+
+    def _begin_overwrite(self, step: int):
+        src = os.path.join(self._steps_root, str(step))
+        if not os.path.isdir(src):  # unexpected layout; last-resort delete
+            self._mgr.delete(step)
+            return
+        root = self._backup_root()
+        shutil.rmtree(root, ignore_errors=True)
+        os.makedirs(root)
+        os.rename(src, os.path.join(root, str(step)))
+        self._mgr.reload()
+
     # -- save ---------------------------------------------------------------
     def save(self, step: int, state, metadata: Optional[dict] = None,
              val_loss: Optional[float] = None) -> bool:
@@ -59,11 +95,8 @@ class CheckpointManager:
         meta = dict(metadata or {})
         if val_loss is not None:
             meta["val_loss"] = float(val_loss)
-        # re-saving a step overwrites it (orbax raises StepAlreadyExists
-        # otherwise) — happens legitimately when a preempted epoch is
-        # redone after resume, or on a second preemption in the same epoch
         if step in self._mgr.all_steps():
-            self._mgr.delete(step)
+            self._begin_overwrite(step)
         self._mgr.save(
             step,
             args=ocp.args.Composite(
@@ -72,14 +105,13 @@ class CheckpointManager:
             ),
         )
         self._mgr.wait_until_finished()
+        shutil.rmtree(self._backup_root(), ignore_errors=True)
 
         is_best = val_loss is not None and val_loss < self.best_val_loss
         if is_best:
             self.best_val_loss = float(val_loss)
             best_dir = os.path.join(self.directory, "best")
             if os.path.exists(best_dir):
-                import shutil
-
                 shutil.rmtree(best_dir)
             self._best.save(best_dir, state)
             self._best.wait_until_finished()

@@ -395,3 +395,46 @@ def test_use_labels_false_ignores_label_key():
     with pytest.raises(ValueError, match="num_classes"):
         make_train_step(SCHED, donate=False)(state, batch,
                                              jax.random.PRNGKey(0))
+
+
+def test_overwrite_interrupted_recovery(tmp_path):
+    """A crash between the backup-rename and the new save must not lose the
+    step: the next CheckpointManager construction rolls the backup back."""
+    _, state = _make_state()
+    d = str(tmp_path / "ck")
+    mgr = CheckpointManager(d, keep_last_n=3)
+    mgr.save(0, state, metadata={"epoch": 0}, val_loss=1.0)
+    # simulate: overwrite began (old step renamed aside) then the process died
+    mgr._begin_overwrite(0)
+    assert mgr.latest_step() is None
+    mgr.close()
+    mgr2 = CheckpointManager(d, keep_last_n=3)
+    assert mgr2.latest_step() == 0
+    abstract = jax.tree_util.tree_map(
+        lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype)
+        if hasattr(x, "shape") else x, state
+    )
+    restored, meta = mgr2.restore("latest", abstract)
+    assert meta["epoch"] == 0
+    for a, b in zip(jax.tree_util.tree_leaves(restored.params),
+                    jax.tree_util.tree_leaves(state.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    mgr2.close()
+
+
+def test_overwrite_completed_discards_backup(tmp_path):
+    """Normal redone-epoch overwrite: the second save at the same step wins
+    and no backup directory is left behind."""
+    _, state = _make_state()
+    d = str(tmp_path / "ck")
+    mgr = CheckpointManager(d, keep_last_n=3)
+    mgr.save(0, state, metadata={"epoch": 0})
+    mgr.save(0, state, metadata={"epoch": 99})
+    assert not os.path.isdir(mgr._backup_root())
+    abstract = jax.tree_util.tree_map(
+        lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype)
+        if hasattr(x, "shape") else x, state
+    )
+    _, meta = mgr.restore("latest", abstract)
+    assert meta["epoch"] == 99
+    mgr.close()
