@@ -30,6 +30,10 @@ def main():
     p.add_argument("--image_size", type=int, default=256)
     p.add_argument("--remat", action="store_true",
                    help="activation checkpointing (bigger batches)")
+    p.add_argument("--remat_policy", default="full",
+                   choices=["full", "convs"],
+                   help="full = recompute everything; convs = selective "
+                        "(save conv/attn outputs, recompute the cheap glue)")
     p.add_argument("--accum", type=int, default=1,
                    help="gradient-accumulation microbatches")
     args = p.parse_args()
@@ -39,7 +43,8 @@ def main():
     from fidm_tpu.training import TrainState, make_optimizer, make_train_step
     from fidm_tpu.training.lr import make_lr_schedule
 
-    cfg = ffhq256_config(image_size=args.image_size, remat=args.remat)
+    cfg = ffhq256_config(image_size=args.image_size, remat=args.remat,
+                         remat_policy=args.remat_policy)
     model = InpaintingUNet(cfg)
     sched = DiffusionSchedule.create("quadratic", 1000)
 
@@ -75,7 +80,7 @@ def main():
 
     per_step = dt / args.steps
     print(f"compile {compile_s:.1f} s   loss0 {loss0:.4f} -> {final:.4f}")
-    tags = (", remat" if args.remat else "") + (
+    tags = (f", remat:{args.remat_policy}" if args.remat else "") + (
         f", accum {args.accum}" if args.accum > 1 else "")
     print(f"train step ({S}^2, batch {B}{tags}): "
           f"{per_step * 1e3:.1f} ms/step = {B / per_step:.2f} img/s/chip")

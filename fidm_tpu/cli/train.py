@@ -74,6 +74,12 @@ def parse_args(argv=None):
                    help="gradient-accumulation microbatches per optimizer "
                         "step (batch_size must be divisible); activation "
                         "memory scales with batch/accum_steps")
+    p.add_argument("--remat", default="none",
+                   choices=["none", "full", "convs"],
+                   help="activation rematerialization: full recomputes "
+                        "whole blocks in the backward (max memory saving, "
+                        "~20%% step time); convs saves conv/attention "
+                        "outputs and recomputes only the cheap glue")
     args, _ = p.parse_known_args(argv)
     if args.config:
         import json as _json
@@ -116,6 +122,8 @@ def main(argv=None):
         num_heads=args.num_heads,
         num_head_channels=args.num_head_channels,
         attention_resolutions=tuple(args.attention_resolutions),
+        remat=args.remat != "none",
+        remat_policy=args.remat if args.remat != "none" else "full",
     )
     model = InpaintingUNet(cfg)
     sched = DiffusionSchedule.create(args.schedule, args.diffusion_steps)

@@ -24,6 +24,7 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
+from jax.ad_checkpoint import checkpoint_name
 
 from ..ops.attention import qkv_attention
 
@@ -201,8 +202,17 @@ class ResBlock(nn.Module):
     @nn.compact
     def __call__(self, x, emb, skip=None):
         if skip is not None:
-            assert not (self.up or self.down or self.use_conv_skip)
-            return self._split_forward(x, skip, emb)
+            if self.up or self.down or self.use_conv_skip:
+                raise ValueError(
+                    "split-skip path supports plain blocks only "
+                    "(no up/down/use_conv_skip)")
+            if (self.out_channels or x.shape[-1] + skip.shape[-1]) == \
+                    x.shape[-1] + skip.shape[-1]:
+                # identity residual would need the concat anyway; fall back
+                # transparently so the parameter tree stays identical
+                x = jnp.concatenate([x, skip], axis=-1)
+            else:
+                return self._split_forward(x, skip, emb)
         out_ch = self.out_channels or x.shape[-1]
 
         h = GroupNorm32(dtype=self.dtype, name="in_norm")(x)
@@ -215,6 +225,7 @@ class ResBlock(nn.Module):
             x = Downsample(False, dtype=self.dtype)(x)
         h = nn.Conv(out_ch, (3, 3), padding=1, dtype=self.dtype,
                     param_dtype=jnp.float32, name="in_conv")(h)
+        h = checkpoint_name(h, "conv_out")
 
         emb_out = nn.Dense(
             2 * out_ch if self.use_scale_shift_norm else out_ch,
@@ -235,6 +246,7 @@ class ResBlock(nn.Module):
         h = nn.Conv(out_ch, (3, 3), padding=1, dtype=self.dtype,
                     param_dtype=jnp.float32, kernel_init=nn.initializers.zeros,
                     name="out_conv")(h)
+        h = checkpoint_name(h, "conv_out")
 
         if out_ch == x.shape[-1]:
             skip = x
@@ -251,7 +263,8 @@ class ResBlock(nn.Module):
         Ca, Cb = x.shape[-1], skip.shape[-1]
         C = Ca + Cb
         out_ch = self.out_channels or C
-        assert out_ch != C, "identity residual would need the concat anyway"
+        if out_ch == C:  # __call__ falls back to concat before reaching here
+            raise ValueError("identity residual requires the concat path")
 
         gn = _GNParams(C, name="in_norm")()
         a, b = _split_groupnorm_silu(x, skip, gn["scale"], gn["bias"])
@@ -265,6 +278,7 @@ class ResBlock(nn.Module):
         h = (_conv_half(a, conv_p["kernel"], 0, Ca, self.dtype, pad)
              + _conv_half(b, conv_p["kernel"], Ca, C, self.dtype, pad)
              + conv_p["bias"].astype(self.dtype))
+        h = checkpoint_name(h, "conv_out")
 
         emb_out = nn.Dense(
             2 * out_ch if self.use_scale_shift_norm else out_ch,
@@ -285,6 +299,7 @@ class ResBlock(nn.Module):
         h = nn.Conv(out_ch, (3, 3), padding=1, dtype=self.dtype,
                     param_dtype=jnp.float32, kernel_init=nn.initializers.zeros,
                     name="out_conv")(h)
+        h = checkpoint_name(h, "conv_out")
 
         skip_p = _RawParams(
             (("kernel", (1, 1, C, out_ch), nn.initializers.lecun_normal()),
@@ -327,4 +342,5 @@ class AttentionBlock(nn.Module):
         out = out.transpose(0, 2, 1, 3).reshape(b, s, c)
         out = nn.Dense(c, dtype=self.dtype, param_dtype=jnp.float32,
                        kernel_init=nn.initializers.zeros, name="proj")(out)
+        out = checkpoint_name(out, "attn_out")
         return x + out.reshape(b, h, w, c)

@@ -55,6 +55,14 @@ class UNetConfig:
     resblock_updown: bool = True
     dtype: jnp.dtype = jnp.bfloat16
     remat: bool = False
+    # Rematerialization policy when remat=True:
+    #   "full"  — recompute everything in the backward (max memory saving,
+    #             ~20% step-time cost measured at 256², BENCH.md);
+    #   "convs" — selective: save conv/attention outputs (the expensive,
+    #             MXU-bound results, tagged via `checkpoint_name`) and
+    #             recompute only the cheap GroupNorm/SiLU/embedding glue —
+    #             most of the memory saving at a few % of the cost.
+    remat_policy: str = "full"
     # Decoder skip-connections without materializing the channel concat:
     # each out_*_res block computes GroupNorm stats across both halves and
     # runs its convolutions as two half-kernel convs summed — exactly the
@@ -100,8 +108,20 @@ class UNet(nn.Module):
             cfg.num_heads if cfg.num_heads_upsample == -1 else cfg.num_heads_upsample
         )
 
-        block = nn.remat(ResBlock) if cfg.remat else ResBlock
-        attn = nn.remat(AttentionBlock) if cfg.remat else AttentionBlock
+        if not cfg.remat:
+            block, attn = ResBlock, AttentionBlock
+        elif cfg.remat_policy == "convs":
+            import jax
+
+            policy = jax.checkpoint_policies.save_only_these_names(
+                "conv_out", "attn_out")
+            block = nn.remat(ResBlock, policy=policy)
+            attn = nn.remat(AttentionBlock, policy=policy)
+        elif cfg.remat_policy == "full":
+            block = nn.remat(ResBlock)
+            attn = nn.remat(AttentionBlock)
+        else:
+            raise ValueError(f"unknown remat_policy: {cfg.remat_policy!r}")
 
         time_embed_dim = cfg.model_channels * 4
         emb = timestep_embedding(timesteps, cfg.model_channels)

@@ -199,3 +199,55 @@ def test_split_decoder_skips_bf16_close():
     a = np.asarray(model_cat.apply(params, x, t), np.float32)
     b = np.asarray(model_split.apply(params, x, t), np.float32)
     np.testing.assert_allclose(a, b, atol=5e-2)
+
+
+def test_split_skip_identity_residual_falls_back_to_concat():
+    """out_ch == in_ch + skip_ch means the standard path uses an identity
+    residual (no skip_conv params). The split path must transparently fall
+    back to concat there — same param tree, same output (ADVICE r1)."""
+    from fidm_tpu.models.layers import ResBlock
+
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 8, 8, 32)) * 0.5
+    skip = jax.random.normal(jax.random.PRNGKey(1), (2, 8, 8, 32)) * 0.5
+    emb = jax.random.normal(jax.random.PRNGKey(2), (2, 16))
+    blk = ResBlock(out_channels=64)  # == 32 + 32 -> identity residual
+    cat_in = jnp.concatenate([x, skip], axis=-1)
+    p_cat = blk.init(jax.random.PRNGKey(3), cat_in, emb)
+    p_split = blk.init(jax.random.PRNGKey(3), x, emb, skip=skip)
+    assert jax.tree_util.tree_map(lambda v: v.shape, p_cat) == \
+        jax.tree_util.tree_map(lambda v: v.shape, p_split)
+    a = blk.apply(p_cat, cat_in, emb)
+    b = blk.apply(p_cat, x, emb, skip=skip)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_remat_policies_match_no_remat():
+    """remat full/convs (selective: save conv/attn outputs, recompute glue)
+    must be numerically identical to no-remat in value AND gradient."""
+    import dataclasses
+
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 16, 16, 3)) * 0.5
+    t = jnp.array([10, 500])
+    params = UNet(TINY).init(jax.random.PRNGKey(0), x, t)
+
+    def loss(cfg):
+        def f(p):
+            return jnp.mean(UNet(cfg).apply(p, x, t) ** 2)
+        return f
+
+    base_cfg = dataclasses.replace(TINY, remat=False)
+    with jax.default_matmul_precision("highest"):
+        v0, g0 = jax.value_and_grad(loss(base_cfg))(params)
+        for policy in ("full", "convs"):
+            cfg = dataclasses.replace(TINY, remat=True, remat_policy=policy)
+            v, g = jax.value_and_grad(loss(cfg))(params)
+            np.testing.assert_allclose(float(v), float(v0), rtol=1e-6)
+            for a, b in zip(jax.tree_util.tree_leaves(g),
+                            jax.tree_util.tree_leaves(g0)):
+                np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                           atol=1e-5, rtol=1e-4)
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="remat_policy"):
+        UNet(dataclasses.replace(TINY, remat=True, remat_policy="bogus")
+             ).apply(params, x, t)
