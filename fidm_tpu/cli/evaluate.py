@@ -96,6 +96,10 @@ def parse_args(argv=None):
                    help="path to torchvision AlexNet .pth for real LPIPS")
     p.add_argument("--lpips_lin", default=None,
                    help="path to lpips linear-head .pt")
+    p.add_argument("--fid_weights", default=None,
+                   help="path to a pt_inception-2015-12-05-layout torch "
+                        "checkpoint; enables the real InceptionV3 FID "
+                        "(without it only the proxy FID is reported)")
     args, _ = p.parse_known_args(argv)
     if args.config:
         import json as _json
@@ -109,7 +113,16 @@ def main(argv=None):
     import dataclasses
 
     from ..data import create_inference_dataloader
-    from ..metrics import LPIPS, RandomConvFeatureExtractor, fid_from_features, psnr, ssim
+    from ..metrics import (
+        LPIPS,
+        InceptionFeatureExtractor,
+        RandomConvFeatureExtractor,
+        fid_from_features,
+        masked_psnr,
+        masked_ssim,
+        psnr,
+        ssim,
+    )
     from ..models import ffhq256_config
     from ..pipeline import SAMPLER_PRESETS, InpaintingPipeline, PipelineConfig
     from ..utils import StepTimer, save_comparison_grid, save_png, to_uint8
@@ -212,9 +225,16 @@ def main(argv=None):
     timer = StepTimer()
     reals, fakes = [], []
     ssims, psnrs, lpips_vals = [], [], []
+    hole_ssims, hole_psnrs = [], []
     lpips_fn = None
     if args.lpips_alexnet and args.lpips_lin:
         lpips_fn = LPIPS.from_torch_files(args.lpips_alexnet, args.lpips_lin)
+    inception = None
+    if args.fid_weights:
+        # eager on CPU hosts: a one-off XLA CPU compile of InceptionV3 costs
+        # more than running the extraction op-by-op
+        inception = InceptionFeatureExtractor.from_torch_file(
+            args.fid_weights, jit=jax.default_backend() != "cpu")
 
     key = jax.random.PRNGKey(args.seed)
     n_done = 0
@@ -239,6 +259,9 @@ def main(argv=None):
         out01 = (out + 1) / 2
         ssims.extend(np.asarray(ssim(gt01, out01)).tolist())
         psnrs.extend(np.asarray(psnr(gt01, out01)).tolist())
+        # hole-region metrics: with blending, the rest of the image is GT
+        hole_ssims.extend(np.asarray(masked_ssim(gt01, out01, mask)).tolist())
+        hole_psnrs.extend(np.asarray(masked_psnr(gt01, out01, mask)).tolist())
         if lpips_fn is not None:
             lpips_vals.extend(lpips_fn(gt, out).tolist())
         reals.append(gt01)
@@ -271,6 +294,12 @@ def main(argv=None):
         np.concatenate([extractor(r) for r in reals]),
         np.concatenate([extractor(f) for f in fakes]),
     )
+    fid_real = None
+    if inception is not None:
+        fid_real = fid_from_features(
+            np.concatenate([inception(r) for r in reals]),
+            np.concatenate([inception(f) for f in fakes]),
+        )
 
     results = {
         "num_samples": n_done,
@@ -278,6 +307,8 @@ def main(argv=None):
         "sampler": str(sampler),
         "ssim_mean": float(np.mean(ssims)),
         "psnr_mean": float(np.mean(psnrs)),
+        "hole_ssim_mean": float(np.mean(hole_ssims)),
+        "hole_psnr_mean": float(np.mean(hole_psnrs)),
         "fid_proxy": float(fid_proxy),
         # includes the first (compile) batch — the reference harness times
         # the same way (test_inpainting_better.py:732-739)
@@ -289,6 +320,8 @@ def main(argv=None):
         ),
         "backend": jax.default_backend(),
     }
+    if fid_real is not None:
+        results["fid"] = float(fid_real)
     if lpips_vals:
         results["lpips_mean"] = float(np.mean(lpips_vals))
     with open(os.path.join(args.output_dir, "metrics.txt"), "w") as f:

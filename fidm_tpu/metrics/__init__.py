@@ -1,9 +1,11 @@
 from .fid import (
+    InceptionFeatureExtractor,
     RandomConvFeatureExtractor,
     compute_statistics,
     fid_between_image_sets,
     fid_from_features,
     frechet_distance,
 )
+from .inception import convert_torch_inception_weights
 from .lpips import LPIPS
-from .ssim import psnr, ssim
+from .ssim import masked_psnr, masked_ssim, psnr, ssim

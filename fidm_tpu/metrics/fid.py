@@ -6,10 +6,12 @@ statistics pipeline is native (batched feature accumulation on device, f64
 mean/covariance on host, Frechet distance via scipy sqrtm with the standard
 eps-regularized fallback), and the feature extractor is pluggable:
 
-- `InceptionFeatureExtractor` — loads InceptionV3 weights from a local
-  torch checkpoint (`pt_inception-2015-12-05` layout) when the user provides
-  one; this environment has no network egress and ships no pretrained
-  weights, so there is no silently-wrong default.
+- `InceptionFeatureExtractor` (from `.inception`, re-exported here) — the
+  real FID instrument: a native-JAX FID-InceptionV3 (pool3, 2048-d) fed by
+  `pt_inception-2015-12-05`-layout torch weights the user supplies locally;
+  this environment has no network egress and ships no pretrained weights,
+  so there is no silently-wrong default. Oracle-parity-tested in
+  `tests/test_fid_inception.py`.
 - `RandomConvFeatureExtractor` — a seeded random-projection CNN producing a
   *proxy* FID for pipeline tests and relative comparisons only (documented
   as NOT comparable to published FID numbers).
@@ -22,10 +24,13 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from .inception import InceptionFeatureExtractor
+
 __all__ = [
     "compute_statistics",
     "frechet_distance",
     "fid_from_features",
+    "InceptionFeatureExtractor",
     "RandomConvFeatureExtractor",
 ]
 

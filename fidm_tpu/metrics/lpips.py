@@ -83,11 +83,15 @@ class LPIPS:
             fy = self._features(y)
             total = 0.0
             for a, b, lin in zip(fx, fy, self.weights["lins"]):
-                a = a / jnp.sqrt(jnp.sum(a**2, axis=-1, keepdims=True) + 1e-10)
-                b = b / jnp.sqrt(jnp.sum(b**2, axis=-1, keepdims=True) + 1e-10)
+                # lpips `normalize_tensor`: x / (||x||_c + eps), eps OUTSIDE
+                # the sqrt (matches the package bit-for-bit; tested against
+                # the vendored torch oracle)
+                a = a / (jnp.sqrt(jnp.sum(a**2, -1, keepdims=True)) + 1e-10)
+                b = b / (jnp.sqrt(jnp.sum(b**2, -1, keepdims=True)) + 1e-10)
                 d = (a - b) ** 2
-                # learned linear head (1x1 conv), then spatial mean
-                total = total + (d * jnp.maximum(lin, 0.0)).sum(-1).mean((1, 2))
+                # learned linear head (1x1 conv, no clamp at inference),
+                # then spatial mean
+                total = total + (d * lin).sum(-1).mean((1, 2))
             return total
 
         self._distance = distance

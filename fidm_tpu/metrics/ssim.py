@@ -14,7 +14,7 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-__all__ = ["ssim", "psnr"]
+__all__ = ["ssim", "psnr", "masked_ssim", "masked_psnr"]
 
 
 def _uniform_filter(x, win: int):
@@ -30,9 +30,7 @@ def _uniform_filter(x, win: int):
     )
 
 
-@partial(jax.jit, static_argnames=("win_size", "data_range"))
-def ssim(img1, img2, *, win_size: int = 11, data_range: float = 1.0):
-    """Mean SSIM per batch element. img1/img2: [B,H,W,C] in [0, data_range]."""
+def _ssim_map(img1, img2, win_size: int, data_range: float):
     img1 = img1.astype(jnp.float32)
     img2 = img2.astype(jnp.float32)
     K1, K2 = 0.01, 0.03
@@ -57,11 +55,43 @@ def ssim(img1, img2, *, win_size: int = 11, data_range: float = 1.0):
     B1 = ux**2 + uy**2 + C1
     B2 = vx + vy + C2
     s = (A1 * A2) / (B1 * B2)
+    return s
+
+
+@partial(jax.jit, static_argnames=("win_size", "data_range"))
+def ssim(img1, img2, *, win_size: int = 11, data_range: float = 1.0):
+    """Mean SSIM per batch element. img1/img2: [B,H,W,C] in [0, data_range]."""
     # skimage crops (win_size-1)//2 from each side of the *valid* map before
     # averaging; conv VALID already removed the borders, and skimage then
     # additionally crops pad pixels of the full map — the valid map equals
     # the cropped full map, so average directly.
-    return s.mean(axis=(1, 2, 3))
+    return _ssim_map(img1, img2, win_size, data_range).mean(axis=(1, 2, 3))
+
+
+@partial(jax.jit, static_argnames=("win_size", "data_range"))
+def masked_ssim(img1, img2, mask, *, win_size: int = 11,
+                data_range: float = 1.0):
+    """SSIM averaged over window positions centred in the mask (hole).
+
+    Whole-image SSIM barely moves when ~90% of pixels are copied from GT —
+    the hole is the product. mask: [B,H,W,1], 1 = hole. Images with an empty
+    mask return 0 (no hole to score)."""
+    s = _ssim_map(img1, img2, win_size, data_range)
+    r = (win_size - 1) // 2
+    w = mask.astype(jnp.float32)[:, r:-r, r:-r, :]
+    num = (s * w).sum(axis=(1, 2, 3))
+    den = w.sum(axis=(1, 2, 3)) * s.shape[-1]
+    return num / jnp.maximum(den, 1.0)
+
+
+@jax.jit
+def masked_psnr(img1, img2, mask, data_range: float = 1.0):
+    """PSNR over mask (hole) pixels only. mask: [B,H,W,1], 1 = hole."""
+    d = (img1.astype(jnp.float32) - img2.astype(jnp.float32)) ** 2
+    m = mask.astype(jnp.float32)
+    mse = (d * m).sum(axis=(1, 2, 3)) / jnp.maximum(
+        m.sum(axis=(1, 2, 3)) * d.shape[-1], 1.0)
+    return 10.0 * jnp.log10(data_range**2 / jnp.maximum(mse, 1e-12))
 
 
 @jax.jit

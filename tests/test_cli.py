@@ -35,18 +35,30 @@ TINY_MODEL = [
 
 
 def test_evaluate_cli_quick_test(data_tree, tmp_path):
+    import torch
+    from oracle_fid_inception import FIDInceptionOracle, randomize
+
     from fidm_tpu.cli.evaluate import main
 
     img_dir, mask_dir = data_tree
     out_dir = str(tmp_path / "results")
+    fid_w = str(tmp_path / "pt_inception.pth")
+    torch.save(randomize(FIDInceptionOracle(), seed=0).state_dict(), fid_w)
     results = main([
         "--data_dir", img_dir, "--mask_dir", mask_dir,
         "--output_dir", out_dir, "--quick_test", "--diffusion_steps", "100",
+        "--fid_weights", fid_w,
         *TINY_MODEL,
     ])
     assert results["num_samples"] == 6
     assert np.isfinite(results["ssim_mean"])
     assert np.isfinite(results["fid_proxy"])
+    # real-FID path (random inception weights here; still a real number)
+    assert np.isfinite(results["fid"]) and results["fid"] > 0
+    # hole-region metrics (the hole is the product)
+    assert np.isfinite(results["hole_ssim_mean"])
+    assert np.isfinite(results["hole_psnr_mean"])
+    assert results["hole_psnr_mean"] <= results["psnr_mean"] + 1e-6
     assert os.path.exists(os.path.join(out_dir, "metrics.txt"))
     assert os.path.exists(os.path.join(out_dir, "metrics.json"))
     assert os.path.exists(os.path.join(out_dir, "inpainted", "00000.png"))

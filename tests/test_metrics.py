@@ -115,3 +115,45 @@ def test_lpips_proxy_properties():
     assert d_same.shape == (2,)
     np.testing.assert_allclose(d_same, 0.0, atol=1e-6)
     assert (d_diff > 1e-4).all()
+
+
+def test_masked_psnr_scores_hole_only():
+    from fidm_tpu.metrics import masked_psnr
+
+    rng = np.random.default_rng(7)
+    a = rng.uniform(0, 1, (2, 32, 32, 3)).astype(np.float32)
+    b = a.copy()
+    mask = np.zeros((2, 32, 32, 1), np.float32)
+    mask[:, 8:24, 8:24] = 1.0
+    # corrupt ONLY the hole: masked_psnr equals plain psnr of the crop
+    b[:, 8:24, 8:24] = np.clip(
+        b[:, 8:24, 8:24] + rng.normal(0, 0.2, (2, 16, 16, 3)), 0, 1)
+    got = np.asarray(masked_psnr(a, b, mask))
+    crop = np.asarray(psnr(a[:, 8:24, 8:24], b[:, 8:24, 8:24]))
+    np.testing.assert_allclose(got, crop, rtol=1e-5)
+    # corrupt ONLY the known region: hole metric stays perfect (capped)
+    c = a.copy()
+    c[:, :4] = 0.0
+    assert (np.asarray(masked_psnr(a, c, mask)) > 100).all()
+
+
+def test_masked_ssim_ignores_known_region():
+    from fidm_tpu.metrics import masked_ssim
+
+    rng = np.random.default_rng(8)
+    a = rng.uniform(0, 1, (1, 32, 32, 3)).astype(np.float32)
+    mask = np.zeros((1, 32, 32, 1), np.float32)
+    mask[:, 10:22, 10:22] = 1.0
+    # identical images -> 1.0 over the hole
+    assert float(np.asarray(masked_ssim(a, a, mask))[0]) == pytest.approx(
+        1.0, abs=1e-5)
+    # noise in the hole drops it; whole-image ssim moves far less
+    b = a.copy()
+    b[:, 10:22, 10:22] = np.clip(
+        b[:, 10:22, 10:22] + rng.normal(0, 0.3, (1, 12, 12, 3)), 0, 1)
+    hole = float(np.asarray(masked_ssim(a, b, mask))[0])
+    whole = float(np.asarray(ssim(a, b))[0])
+    assert hole < whole < 1.0
+    # empty mask -> defined (0), not NaN
+    empty = np.zeros_like(mask)
+    assert float(np.asarray(masked_ssim(a, b, empty))[0]) == 0.0
