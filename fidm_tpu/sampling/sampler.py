@@ -405,6 +405,25 @@ def _ddpm_logvar(var_values, x, s, cfg: SamplerConfig):
     return jnp.broadcast_to(s["post_logvar"], x.shape)
 
 
+def _guide_eps(cond_fn, x, s, B, pred_x0):
+    """`condition_score` inside the scan (gaussian_diffusion.py:339-355):
+    eps from the (possibly clipped) x0 prediction, shifted by
+    -sqrt(1-alpha_bar) * grad log p(y|x_t), x0 re-derived (no re-clip)."""
+    t_full = jnp.full((B,), s["t"], jnp.int32)
+    grad = cond_fn(x, t_full)
+    eps = (x - s["sqrt_a_t"] * pred_x0) / s["sqrt_one_minus_a_t"]
+    eps = eps - s["sqrt_one_minus_a_t"] * grad
+    pred_x0 = (x - s["sqrt_one_minus_a_t"] * eps) / s["sqrt_a_t"]
+    return pred_x0, eps
+
+
+def _guide_mean(cond_fn, x, s, B, mean, logvar):
+    """`condition_mean` inside the scan (gaussian_diffusion.py:326-337):
+    posterior mean shifted by variance * grad log p(y|x_t)."""
+    t_full = jnp.full((B,), s["t"], jnp.int32)
+    return mean + jnp.exp(logvar) * cond_fn(x, t_full)
+
+
 def _gt_noise(inject_key, timestep, shape, dtype):
     """Injection noise keyed by timestep — the cache contract (see module doc)."""
     key = jax.random.fold_in(inject_key, timestep)
@@ -439,6 +458,7 @@ def inpaint_sample(
     key: jax.Array,
     x_init: Optional[jnp.ndarray] = None,
     cache_apply: Optional[tuple] = None,
+    cond_fn: Optional[Callable] = None,
 ):
     """Run the full inpainting reverse process on-device.
 
@@ -455,12 +475,22 @@ def inpaint_sample(
         -> out runs the decoder against cached features. Key steps
         (step % period == 0) publish a fresh cache via lax.cond; the steps
         in between skip the encoder entirely.
+      cond_fn: optional classifier guidance, (x, t[B]) -> grad log p(y|x_t)
+        (same shape as x). Applied inside the scan with the reference's
+        semantics (`gaussian_diffusion.py:326-388`): DDPM shifts the
+        posterior mean by variance * grad (`condition_mean`); DDIM shifts
+        eps by -sqrt(1-alpha_bar) * grad and re-derives x0
+        (`condition_score`). Supported for methods ddim/ddpm/repaint.
 
     Returns:
       Inpainted images [B,H,W,3]; known pixels exactly equal `gt` when
       cfg.final_blend (the property test anchors this).
     """
     B = gt.shape[0]
+    if cond_fn is not None and cfg.method in ("dpm++2m", "dpm++2m-sde"):
+        raise ValueError(
+            "classifier guidance (cond_fn) is defined for ddim/ddpm/repaint; "
+            "the DPM-Solver++ update has no reference-guided form")
     keep = (1.0 - mask).astype(gt.dtype)
     masked_image = gt * keep  # model conditioning (test_inpainting_better.py:387-390)
 
@@ -487,6 +517,8 @@ def inpaint_sample(
                 t_full = jnp.full((B,), s["t"], jnp.int32)
                 out = apply_fn(xx, t_full, masked_image, mask)
                 mean, logvar = _ddpm_mean_logvar(out, xx, s, cfg)
+                if cond_fn is not None:
+                    mean = _guide_mean(cond_fn, xx, s, B, mean, logvar)
                 noise = jax.random.normal(
                     jax.random.fold_in(step_key, s["step"]), xx.shape, xx.dtype
                 )
@@ -518,6 +550,8 @@ def inpaint_sample(
                 pred_x0 = jnp.clip(pred_x0, -1.0, 1.0)
                 if cfg.mean_type != gd.ModelMeanType.EPSILON:
                     eps = (x - s["sqrt_a_t"] * pred_x0) / s["sqrt_one_minus_a_t"]
+            if cond_fn is not None:
+                pred_x0, eps = _guide_eps(cond_fn, x, s, B, pred_x0)
             noise = jax.random.normal(
                 jax.random.fold_in(step_key, s["step"]), x.shape, x.dtype
             )
@@ -532,6 +566,8 @@ def inpaint_sample(
 
         def update(x, aux, s, out):
             mean, logvar = _ddpm_mean_logvar(out, x, s, cfg)
+            if cond_fn is not None:
+                mean = _guide_mean(cond_fn, x, s, B, mean, logvar)
             noise = jax.random.normal(
                 jax.random.fold_in(step_key, s["step"]), x.shape, x.dtype
             )
@@ -625,6 +661,7 @@ def sample(
     key: jax.Array,
     x_init: Optional[jnp.ndarray] = None,
     cache_apply: Optional[tuple] = None,
+    cond_fn: Optional[Callable] = None,
 ):
     """Unconditional generation (3-channel base model), library parity.
 
@@ -632,8 +669,15 @@ def sample(
     (`gaussian_diffusion.py:390-538`). Supports the same encoder-feature
     reuse as inpaint_sample: with cfg.encoder_cache_period > 1, pass
     cache_apply = (full_fn(x, t) -> (out, cache), cached_fn(x, t, cache)
-    -> out).
+    -> out). `cond_fn(x, t) -> grad log p(y|x_t)` enables classifier
+    guidance with the reference's `condition_mean`/`condition_score`
+    semantics (`gaussian_diffusion.py:326-388`; consumed by `p_sample`/
+    `ddim_sample` at :357-485) for methods ddim/ddpm/repaint.
     """
+    if cond_fn is not None and cfg.method in ("dpm++2m", "dpm++2m-sde"):
+        raise ValueError(
+            "classifier guidance (cond_fn) is defined for ddim/ddpm/repaint; "
+            "the DPM-Solver++ update has no reference-guided form")
     init_key, step_key = jax.random.split(key)
     x = x_init if x_init is not None else jax.random.normal(init_key, shape)
     B = shape[0]
@@ -649,6 +693,8 @@ def sample(
             def denoise(xx):
                 out = apply_fn(xx, jnp.full((B,), s["t"], jnp.int32))
                 mean, logvar = _ddpm_mean_logvar(out, xx, s, cfg)
+                if cond_fn is not None:
+                    mean = _guide_mean(cond_fn, xx, s, B, mean, logvar)
                 noise = jax.random.normal(
                     jax.random.fold_in(step_key, s["step"]), xx.shape, xx.dtype
                 )
@@ -677,6 +723,8 @@ def sample(
             # recompute eps from the (possibly clipped) x0 — library parity
             # (gaussian_diffusion.py:470)
             eps = (x - s["sqrt_a_t"] * pred_x0) / s["sqrt_one_minus_a_t"]
+            if cond_fn is not None:
+                pred_x0, eps = _guide_eps(cond_fn, x, s, B, pred_x0)
             noise = jax.random.normal(
                 jax.random.fold_in(step_key, s["step"]), x.shape, x.dtype
             )
@@ -691,6 +739,8 @@ def sample(
 
         def update(x, aux, s, out):
             mean, logvar = _ddpm_mean_logvar(out, x, s, cfg)
+            if cond_fn is not None:
+                mean = _guide_mean(cond_fn, x, s, B, mean, logvar)
             noise = jax.random.normal(
                 jax.random.fold_in(step_key, s["step"]), x.shape, x.dtype
             )

