@@ -7,3 +7,4 @@ from .mesh import (
     shard_batch,
     shard_params,
 )
+from .multihost import global_batch, host_local_slice, initialize, launched_by_env

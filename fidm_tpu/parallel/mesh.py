@@ -21,6 +21,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 __all__ = [
     "create_mesh",
+    "auto_mesh",
     "batch_sharding",
     "replicated",
     "fsdp_param_specs",

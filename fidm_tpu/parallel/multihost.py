@@ -8,26 +8,59 @@ assembles into the globally-sharded array.
 """
 from __future__ import annotations
 
+import os
 from typing import Optional
 
 import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding
 
-__all__ = ["initialize", "host_local_slice", "global_batch"]
+__all__ = ["initialize", "launched_by_env", "host_local_slice",
+           "global_batch"]
+
+# environment markers set by the standard multi-host launchers (TPU pod
+# runtime, GKE/JobSet, SLURM, Open MPI) that jax.distributed.initialize()
+# can auto-configure from with no explicit arguments
+_LAUNCHER_ENV_VARS = (
+    "COORDINATOR_ADDRESS",
+    "JAX_COORDINATOR_ADDRESS",
+    "TPU_WORKER_HOSTNAMES",
+    "MEGASCALE_COORDINATOR_ADDRESS",
+    "SLURM_JOB_ID",
+    "OMPI_COMM_WORLD_SIZE",
+)
+
+
+def launched_by_env() -> bool:
+    """True when a recognized multi-process launcher environment is present."""
+    return any(v in os.environ for v in _LAUNCHER_ENV_VARS)
 
 
 def initialize(coordinator_address: Optional[str] = None,
                num_processes: Optional[int] = None,
-               process_id: Optional[int] = None) -> None:
-    """Connect this process to the pod (no-op if single-process)."""
-    if num_processes is None or num_processes <= 1:
-        return
-    jax.distributed.initialize(
-        coordinator_address=coordinator_address,
-        num_processes=num_processes,
-        process_id=process_id,
-    )
+               process_id: Optional[int] = None) -> bool:
+    """Connect this process to the pod. Returns True if distributed init ran.
+
+    Three modes:
+    - explicit args -> `jax.distributed.initialize(addr, n, id)`;
+    - no args under a recognized launcher env (TPU pod runtime / SLURM /
+      MPI, see `_LAUNCHER_ENV_VARS`) -> no-arg auto-detected
+      `jax.distributed.initialize()`;
+    - no args, no launcher env -> single-process no-op (returns False).
+    """
+    if num_processes is not None:
+        if num_processes <= 1:
+            return False
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+        return True
+    if launched_by_env():
+        jax.distributed.initialize()
+        return True
+    return False
 
 
 def host_local_slice(global_index: np.ndarray) -> np.ndarray:

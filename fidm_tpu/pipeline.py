@@ -167,12 +167,6 @@ class InpaintingPipeline:
         self._jitted.clear()
         return self
 
-    def _apply_fn(self):
-        def apply_fn(x, t, masked_image, mask):
-            return self.model.apply(self.variables, x, t, masked_image, mask)
-
-        return apply_fn
-
     def inpaint(self, gt, mask, key, sampler: Optional[SamplerConfig] = None):
         """Inpaint a batch: gt [B,H,W,3] in [-1,1], mask [B,H,W,1] (1=hole)."""
         cfg = sampler or self.config.sampler

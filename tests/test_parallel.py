@@ -67,3 +67,43 @@ def test_graft_dryrun_multichip():
     from __graft_entry__ import dryrun_multichip
 
     dryrun_multichip(8)
+
+
+# ----------------------------------------------------------- multihost glue
+
+def test_multihost_initialize_single_process_noop(monkeypatch):
+    from fidm_tpu.parallel import multihost
+
+    for v in multihost._LAUNCHER_ENV_VARS:
+        monkeypatch.delenv(v, raising=False)
+    assert multihost.initialize() is False
+    assert multihost.initialize(num_processes=1) is False
+    assert multihost.launched_by_env() is False
+
+
+def test_multihost_launcher_env_detection(monkeypatch):
+    from fidm_tpu.parallel import multihost
+
+    for v in multihost._LAUNCHER_ENV_VARS:
+        monkeypatch.delenv(v, raising=False)
+    monkeypatch.setenv("SLURM_JOB_ID", "12345")
+    assert multihost.launched_by_env() is True
+
+
+def test_multihost_global_batch_assembly():
+    """Single-process `make_array_from_process_local_data` over the virtual
+    8-device mesh: local data == global array, sharded across devices."""
+    from fidm_tpu.parallel.multihost import global_batch, host_local_slice
+
+    mesh = create_mesh()
+    sharding = batch_sharding(mesh)
+    local = {"image": np.arange(16 * 2, dtype=np.float32).reshape(16, 2),
+             "mask": np.ones((16, 1), np.float32)}
+    g = global_batch(local, mesh, sharding)
+    assert g["image"].shape == (16, 2)
+    np.testing.assert_array_equal(np.asarray(g["image"]), local["image"])
+    assert len(g["image"].addressable_shards) == 8
+    assert all(s.data.shape == (2, 2) for s in g["image"].addressable_shards)
+    # single process owns the whole index set
+    idx = np.arange(10)
+    np.testing.assert_array_equal(host_local_slice(idx), idx)
