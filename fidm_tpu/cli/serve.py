@@ -6,8 +6,6 @@ from __future__ import annotations
 
 import argparse
 
-import jax
-
 
 def parse_args(argv=None):
     p = argparse.ArgumentParser(description="Inpainting inference server")
@@ -15,8 +13,16 @@ def parse_args(argv=None):
     p.add_argument("--host", default="127.0.0.1")
     p.add_argument("--port", type=int, default=8571)
     p.add_argument("--batch_size", type=int, default=8)
+    p.add_argument("--batch_sizes", type=int, nargs="+", default=None,
+                   help="compiled batch-shape ladder (default powers of two "
+                        "up to batch_size); shallow queues use the smallest "
+                        "fitting shape for low latency")
     p.add_argument("--max_wait_ms", type=float, default=20.0)
-    p.add_argument("--preset", default="ddim-100")
+    p.add_argument("--base_seed", type=int, default=0,
+                   help="deterministic per-request seed base")
+    # dpm-25 ~ DDIM-100-class quality at 1/4 the model evaluations — the
+    # right default for latency-sensitive serving (BENCH.md)
+    p.add_argument("--preset", default="dpm-25")
     p.add_argument("--image_size", type=int, default=256)
     p.add_argument("--schedule", default="quadratic")
     p.add_argument("--diffusion_steps", type=int, default=1000)
@@ -50,19 +56,14 @@ def main(argv=None):
         sampler=SAMPLER_PRESETS[args.preset],
     )
     pipe = InpaintingPipeline.create(config, checkpoint=args.checkpoint)
-    # pre-compile the serving shape so the first request isn't a cold start
-    import numpy as np
-
-    S = args.image_size
-    warm_gt = np.zeros((args.batch_size, S, S, 3), np.float32)
-    warm_mask = np.ones((args.batch_size, S, S, 1), np.float32)
-    print("compiling serving graph...")
-    float(np.asarray(pipe.inpaint(warm_gt, warm_mask,
-                                  jax.random.PRNGKey(0)))[0, 0, 0, 0])
-    httpd, dispatcher = serve(pipe, args.host, args.port, args.batch_size,
-                              args.max_wait_ms)
+    print("compiling serving graphs (all batch shapes)...")
+    httpd, dispatcher = serve(
+        pipe, args.host, args.port, args.batch_size, args.max_wait_ms,
+        batch_sizes=tuple(args.batch_sizes) if args.batch_sizes else None,
+        base_seed=args.base_seed, warmup=True,
+    )
     print(f"serving on http://{args.host}:{args.port} "
-          f"(batch {args.batch_size}, preset {args.preset})")
+          f"(batch sizes {dispatcher.batch_sizes}, preset {args.preset})")
     try:
         httpd.serve_forever()
     finally:

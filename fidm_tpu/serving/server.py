@@ -13,10 +13,14 @@ Protocol (POST /inpaint):
 GET /healthz returns {"status": "ok", "batch_size": N, ...}.
 
 Design: request threads enqueue (arrays, Future); a single dispatcher thread
-drains up to `batch_size` items (padding the tail with repeats so the
-compiled shape never changes), runs the pipeline, and resolves the futures.
-This is the TPU-friendly pattern — the device sees one static-shape program
-at high occupancy regardless of client concurrency.
+drains up to `batch_size` items, picks the smallest *compiled* batch shape
+that fits (a short ladder of power-of-two sizes, e.g. 1/2/4/8 — each a
+separate cached XLA program), pads the tail with repeats, runs the pipeline,
+and resolves the futures. Shallow queues therefore ride a small-batch
+program at small-batch latency instead of paying for a padded batch-8 run;
+deep queues still saturate the chip at the full batch size. Seeds default to
+a deterministic per-request counter (reproducible runs); pass `seed` per
+request to override.
 """
 from __future__ import annotations
 
@@ -49,12 +53,29 @@ class InpaintingServer:
     """Micro-batching dispatcher around an InpaintingPipeline."""
 
     def __init__(self, pipeline, batch_size: int = 8,
-                 max_wait_ms: float = 20.0):
+                 max_wait_ms: float = 20.0,
+                 batch_sizes: Optional[tuple] = None,
+                 base_seed: int = 0):
         self.pipeline = pipeline
         self.batch_size = batch_size
         self.max_wait_ms = max_wait_ms
+        # compiled-shape ladder: smallest size >= queue depth is used, so a
+        # single shallow request costs a batch-1 program, not a padded
+        # batch-8 one (each size is one cached XLA program)
+        if batch_sizes is None:
+            batch_sizes, s = [], 1
+            while s < batch_size:
+                batch_sizes.append(s)
+                s *= 2
+            batch_sizes.append(batch_size)
+        self.batch_sizes = tuple(sorted(set(batch_sizes)))
+        if self.batch_sizes[-1] != batch_size:
+            raise ValueError("batch_sizes must include batch_size")
+        self.base_seed = base_seed
+        self._seed_counter = 0
         self.queue: "queue.Queue[_Request]" = queue.Queue()
-        self.stats = {"requests": 0, "batches": 0, "batch_fill_sum": 0}
+        self.stats = {"requests": 0, "batches": 0, "batch_fill_sum": 0,
+                      "batches_by_size": {s: 0 for s in self.batch_sizes}}
         self._stop = threading.Event()
         self._thread = threading.Thread(target=self._dispatch_loop,
                                         daemon=True)
@@ -67,11 +88,26 @@ class InpaintingServer:
             raise ValueError(f"image must be [{S},{S},3], got {image.shape}")
         if mask.shape != (S, S, 1):
             raise ValueError(f"mask must be [{S},{S},1], got {mask.shape}")
+        if seed is None:
+            # deterministic by default: base_seed + arrival index
+            self._seed_counter += 1
+            seed = self.base_seed + self._seed_counter
         req = _Request(np.asarray(image, np.float32),
-                       np.asarray(mask, np.float32),
-                       int(seed) if seed is not None else int(time.time_ns() % 2**31))
+                       np.asarray(mask, np.float32), int(seed))
         self.queue.put(req)
         return req.future
+
+    def warmup(self):
+        """Compile every batch-shape program up front (blocking) so no
+        client request pays a first-compile latency."""
+        S = self.pipeline.config.unet.image_size
+        img = np.zeros((S, S, 3), np.float32)
+        msk = np.ones((S, S, 1), np.float32)
+        for s in self.batch_sizes:
+            gt = np.repeat(img[None], s, 0)
+            mask = np.repeat(msk[None], s, 0)
+            np.asarray(self.pipeline.inpaint(gt, mask, jax.random.PRNGKey(0)))
+        return self
 
     def _dispatch_loop(self):
         while not self._stop.is_set():
@@ -91,9 +127,16 @@ class InpaintingServer:
                     break
             self._run_batch(batch)
 
+    def _compiled_size(self, n: int) -> int:
+        for s in self.batch_sizes:
+            if s >= n:
+                return s
+        return self.batch_sizes[-1]
+
     def _run_batch(self, batch):
         n = len(batch)
-        pad = self.batch_size - n
+        size = self._compiled_size(n)
+        pad = size - n
         gt = np.stack([r.image for r in batch] + [batch[-1].image] * pad)
         mask = np.stack([r.mask for r in batch] + [batch[-1].mask] * pad)
         key = jax.random.PRNGKey(batch[0].seed)
@@ -108,6 +151,7 @@ class InpaintingServer:
         self.stats["requests"] += n
         self.stats["batches"] += 1
         self.stats["batch_fill_sum"] += n
+        self.stats["batches_by_size"][size] += 1
 
     def close(self):
         self._stop.set()
@@ -167,9 +211,15 @@ def _make_handler(server: InpaintingServer):
 
 
 def serve(pipeline, host: str = "127.0.0.1", port: int = 8571,
-          batch_size: int = 8, max_wait_ms: float = 20.0):
+          batch_size: int = 8, max_wait_ms: float = 20.0,
+          batch_sizes: Optional[tuple] = None, base_seed: int = 0,
+          warmup: bool = False):
     """Start the HTTP server; returns (httpd, dispatcher) — call
     httpd.serve_forever() (or run it in a thread for tests)."""
-    dispatcher = InpaintingServer(pipeline, batch_size, max_wait_ms)
+    dispatcher = InpaintingServer(pipeline, batch_size, max_wait_ms,
+                                  batch_sizes=batch_sizes,
+                                  base_seed=base_seed)
+    if warmup:
+        dispatcher.warmup()
     httpd = ThreadingHTTPServer((host, port), _make_handler(dispatcher))
     return httpd, dispatcher
