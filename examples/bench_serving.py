@@ -48,6 +48,8 @@ def main():
     S = cfg.unet.image_size
 
     server = InpaintingServer(pipe, batch_size=args.batch_size)
+    print(f"warming batch shapes {server.batch_sizes}...", flush=True)
+    server.warmup()  # compile the whole shape ladder before measuring
     httpd = ThreadingHTTPServer(("127.0.0.1", args.port),
                                 _make_handler(server))
     threading.Thread(target=httpd.serve_forever, daemon=True).start()
@@ -103,6 +105,9 @@ def main():
         "latency_p95_s": round(float(lat[int(len(lat) * 0.95)]), 3),
         "mean_batch_fill": round(fill, 2),
         "device_batch": args.batch_size,
+        "batches_by_size": {str(k): v
+                            for k, v in
+                            server.stats["batches_by_size"].items() if v},
     }))
     httpd.shutdown()
     server.close()
