@@ -100,6 +100,11 @@ def parse_args(argv=None):
                    help="path to a pt_inception-2015-12-05-layout torch "
                         "checkpoint; enables the real InceptionV3 FID "
                         "(without it only the proxy FID is reported)")
+    p.add_argument("--fid_stats", default=None,
+                   help=".npz of precomputed reference statistics "
+                        "(cli.fid_stats); FID is then computed against "
+                        "that fixed reference set instead of this run's "
+                        "ground-truth images")
     args, _ = p.parse_known_args(argv)
     if args.config:
         import json as _json
@@ -296,10 +301,17 @@ def main(argv=None):
     )
     fid_real = None
     if inception is not None:
-        fid_real = fid_from_features(
-            np.concatenate([inception(r) for r in reals]),
-            np.concatenate([inception(f) for f in fakes]),
-        )
+        from ..metrics import compute_statistics, frechet_distance
+
+        fake_feats = np.concatenate([inception(f) for f in fakes])
+        mu_f, sig_f = compute_statistics(fake_feats)
+        if args.fid_stats:
+            ref = np.load(args.fid_stats)
+            fid_real = frechet_distance(ref["mu"], ref["sigma"], mu_f, sig_f)
+        else:
+            mu_r, sig_r = compute_statistics(
+                np.concatenate([inception(r) for r in reals]))
+            fid_real = frechet_distance(mu_r, sig_r, mu_f, sig_f)
 
     results = {
         "num_samples": n_done,

@@ -234,3 +234,46 @@ def test_evaluate_cli_repaint_preset(data_tree, tmp_path):
     ])
     assert results["preset"] == "repaint-100-light"
     assert np.isfinite(results["ssim_mean"])
+
+
+def test_serve_cli_parse_defaults():
+    from fidm_tpu.cli.serve import parse_args
+
+    args = parse_args([])
+    assert args.preset == "dpm-25"  # latency-first serving default
+    assert args.batch_sizes is None
+    assert args.base_seed == 0
+    args2 = parse_args(["--batch_sizes", "1", "4", "8", "--preset",
+                        "ddim-100"])
+    assert args2.batch_sizes == [1, 4, 8]
+    assert args2.preset == "ddim-100"
+
+
+def test_fid_stats_cli_and_evaluate_consumes_them(data_tree, tmp_path):
+    """Precompute reference FID stats once (cli.fid_stats), then score an
+    eval run against them — the pytorch-fid --save-stats workflow."""
+    import torch
+    from oracle_fid_inception import FIDInceptionOracle, randomize
+
+    from fidm_tpu.cli.evaluate import main as eval_main
+    from fidm_tpu.cli.fid_stats import main as stats_main
+
+    img_dir, mask_dir = data_tree
+    fid_w = str(tmp_path / "pt_inception.pth")
+    torch.save(randomize(FIDInceptionOracle(), seed=1).state_dict(), fid_w)
+    out_npz = str(tmp_path / "ref_stats.npz")
+    info = stats_main([
+        "--data_dir", img_dir, "--fid_weights", fid_w, "--out", out_npz,
+        "--image_size", "32", "--batch_size", "4",
+    ])
+    assert info["num_images"] == 6 and info["dim"] == 2048
+    ref = np.load(out_npz)
+    assert ref["mu"].shape == (2048,) and ref["sigma"].shape == (2048, 2048)
+
+    results = eval_main([
+        "--data_dir", img_dir, "--mask_dir", mask_dir,
+        "--output_dir", str(tmp_path / "ev"), "--quick_test",
+        "--diffusion_steps", "100", "--fid_weights", fid_w,
+        "--fid_stats", out_npz, "--no_save_images", *TINY_MODEL,
+    ])
+    assert np.isfinite(results["fid"]) and results["fid"] > 0
