@@ -133,26 +133,41 @@ class InpaintingPipeline:
     """
 
     def __init__(self, model, variables, sched, config: PipelineConfig,
-                 mesh=None):
+                 mesh=None, fsdp_params: bool = False,
+                 fsdp_min_size: int = 2**18):
         self.model = model
         self.variables = variables
         self.sched = sched
         self.config = config
         self.mesh = mesh
         if mesh is not None:
-            from .parallel import replicated
+            if fsdp_params:
+                # ZeRO-3-style parameter sharding for eval: serve models
+                # too large to replicate per chip — XLA inserts the
+                # all-gathers over ICI inside the sampling program
+                from .parallel import shard_params
 
-            self.variables = jax.device_put(self.variables, replicated(mesh))
+                params, _ = shard_params(self.variables["params"], mesh,
+                                         use_fsdp=True,
+                                         min_size=fsdp_min_size)
+                self.variables = dict(self.variables, params=params)
+            else:
+                from .parallel import replicated
+
+                self.variables = jax.device_put(self.variables,
+                                                replicated(mesh))
         self._jitted = {}
 
     @classmethod
     def create(cls, config: Optional[PipelineConfig] = None,
-               checkpoint: Optional[str] = None, key=None, mesh=None):
+               checkpoint: Optional[str] = None, key=None, mesh=None,
+               fsdp_params: bool = False, fsdp_min_size: int = 2**18):
         config = config or PipelineConfig()
         model, variables, sched = create_model_and_schedule(
             config, checkpoint=checkpoint, key=key
         )
-        return cls(model, variables, sched, config, mesh=mesh)
+        return cls(model, variables, sched, config, mesh=mesh,
+                   fsdp_params=fsdp_params, fsdp_min_size=fsdp_min_size)
 
     def cast_params(self, dtype=jnp.bfloat16):
         """Cast float params to `dtype` for inference (halves weight HBM
