@@ -194,6 +194,24 @@ def main(argv=None):
             "best" if os.path.isdir(os.path.join(ckpt, "best")) else "latest",
             prefer_ema=args.use_ema,
         )
+        if isinstance(params, dict) and "__meta__" in params:
+            # LoRA training checkpoint: only the adapter pytree is stored;
+            # merge it onto the frozen base cli.train saved alongside
+            import orbax.checkpoint as ocp
+
+            from ..lora import merge_lora
+
+            base_dir = os.path.join(os.path.abspath(ckpt), "lora_base")
+            if not os.path.isdir(base_dir):
+                raise FileNotFoundError(
+                    f"{ckpt} holds a LoRA adapter but no lora_base/ — "
+                    "re-train with the current cli.train (it saves the "
+                    "frozen base) or merge manually with lora.merge_lora")
+            base = ocp.StandardCheckpointer().restore(base_dir)
+            base = jax.tree_util.tree_map(jnp.asarray, base)
+            params = merge_lora(
+                base, jax.tree_util.tree_map(jnp.asarray, params))
+            print("merged LoRA adapter onto the saved frozen base")
         pipe.variables = {"params": params}
         print(f"loaded orbax params from {ckpt}"
               + (" (EMA)" if args.use_ema else ""))

@@ -162,6 +162,18 @@ def main(argv=None):
         train_params = lora
         print(f"LoRA: training {lora_param_count(lora):,} params "
               f"(rank {args.lora_rank})")
+        # persist the frozen base once: training checkpoints hold only the
+        # adapter pytree, so evaluation needs this to merge against
+        # (cli.evaluate auto-detects adapter checkpoints and merges)
+        import orbax.checkpoint as ocp
+
+        base_dir = os.path.join(os.path.abspath(args.checkpoint_dir),
+                                "lora_base")
+        if not os.path.exists(base_dir):
+            os.makedirs(os.path.abspath(args.checkpoint_dir), exist_ok=True)
+            cp = ocp.StandardCheckpointer()
+            cp.save(base_dir, jax.device_get(base_params))
+            cp.wait_until_finished()
     else:
         train_params, _ = shard_params(base_params, mesh,
                                        use_fsdp=args.fsdp > 1)

@@ -277,3 +277,28 @@ def test_fid_stats_cli_and_evaluate_consumes_them(data_tree, tmp_path):
         "--fid_stats", out_npz, "--no_save_images", *TINY_MODEL,
     ])
     assert np.isfinite(results["fid"]) and results["fid"] > 0
+
+
+def test_lora_train_then_evaluate_roundtrip(data_tree, tmp_path):
+    """LoRA training checkpoints store only the adapter pytree; evaluation
+    must merge it onto the frozen base cli.train persists (round-2 fix —
+    previously evaluate loaded the raw adapter tree and broke)."""
+    from fidm_tpu.cli.evaluate import main as eval_main
+    from fidm_tpu.cli.train import main as train_main
+
+    img_dir, mask_dir = data_tree
+    ckpt_dir = str(tmp_path / "ckpt_lora")
+    train_main([
+        "--train_dir", img_dir, "--val_dir", img_dir, "--mask_dir", mask_dir,
+        "--checkpoint_dir", ckpt_dir, "--batch_size", "2",
+        "--num_epochs", "1", "--diffusion_steps", "50",
+        "--lora_rank", "2", *TINY_MODEL,
+    ])
+    assert os.path.isdir(os.path.join(ckpt_dir, "lora_base"))
+    results = eval_main([
+        "--data_dir", img_dir, "--mask_dir", mask_dir,
+        "--output_dir", str(tmp_path / "eval_lora"), "--quick_test",
+        "--diffusion_steps", "50", "--checkpoint", ckpt_dir,
+        "--no_save_images", *TINY_MODEL,
+    ])
+    assert np.isfinite(results["ssim_mean"])
