@@ -252,6 +252,10 @@ def main(argv=None):
     lpips_fn = None
     if args.lpips_alexnet and args.lpips_lin:
         lpips_fn = LPIPS.from_torch_files(args.lpips_alexnet, args.lpips_lin)
+    if args.fid_stats and not args.fid_weights:
+        raise ValueError(
+            "--fid_stats requires --fid_weights (the same InceptionV3 "
+            "checkpoint the stats were computed with)")
     inception = None
     if args.fid_weights:
         # eager on CPU hosts: a one-off XLA CPU compile of InceptionV3 costs
@@ -282,9 +286,14 @@ def main(argv=None):
         out01 = (out + 1) / 2
         ssims.extend(np.asarray(ssim(gt01, out01)).tolist())
         psnrs.extend(np.asarray(psnr(gt01, out01)).tolist())
-        # hole-region metrics: with blending, the rest of the image is GT
-        hole_ssims.extend(np.asarray(masked_ssim(gt01, out01, mask)).tolist())
-        hole_psnrs.extend(np.asarray(masked_psnr(gt01, out01, mask)).tolist())
+        # hole-region metrics: with blending, the rest of the image is GT;
+        # empty-mask samples have no hole to score and would skew the means
+        # in opposite directions (PSNR sentinel up, SSIM zero down)
+        has_hole = np.asarray(mask).sum(axis=(1, 2, 3)) > 0
+        hs = np.asarray(masked_ssim(gt01, out01, mask))[has_hole]
+        hp = np.asarray(masked_psnr(gt01, out01, mask))[has_hole]
+        hole_ssims.extend(hs.tolist())
+        hole_psnrs.extend(hp.tolist())
         if lpips_fn is not None:
             lpips_vals.extend(lpips_fn(gt, out).tolist())
         reals.append(gt01)
@@ -337,8 +346,10 @@ def main(argv=None):
         "sampler": str(sampler),
         "ssim_mean": float(np.mean(ssims)),
         "psnr_mean": float(np.mean(psnrs)),
-        "hole_ssim_mean": float(np.mean(hole_ssims)),
-        "hole_psnr_mean": float(np.mean(hole_psnrs)),
+        "hole_ssim_mean": float(np.mean(hole_ssims)) if hole_ssims
+        else float("nan"),
+        "hole_psnr_mean": float(np.mean(hole_psnrs)) if hole_psnrs
+        else float("nan"),
         "fid_proxy": float(fid_proxy),
         # includes the first (compile) batch — the reference harness times
         # the same way (test_inpainting_better.py:732-739)

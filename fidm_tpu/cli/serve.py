@@ -20,9 +20,11 @@ def parse_args(argv=None):
     p.add_argument("--max_wait_ms", type=float, default=20.0)
     p.add_argument("--base_seed", type=int, default=0,
                    help="deterministic per-request seed base")
-    # dpm-25 ~ DDIM-100-class quality at 1/4 the model evaluations — the
-    # right default for latency-sensitive serving (BENCH.md)
-    p.add_argument("--preset", default="dpm-25")
+    # dpm-25-sde: DDIM-100-class quality at 1/4 the model evaluations,
+    # stochastic — deterministic dpm++2m collapses on hard irregular masks
+    # (prediction-error amplification, docs/TUNING.md), and serving sees
+    # arbitrary client masks, so the SDE variant is the safe default
+    p.add_argument("--preset", default="dpm-25-sde")
     p.add_argument("--image_size", type=int, default=256)
     p.add_argument("--schedule", default="quadratic")
     p.add_argument("--diffusion_steps", type=int, default=1000)

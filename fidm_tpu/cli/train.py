@@ -169,11 +169,16 @@ def main(argv=None):
 
         base_dir = os.path.join(os.path.abspath(args.checkpoint_dir),
                                 "lora_base")
-        if not os.path.exists(base_dir):
-            os.makedirs(os.path.abspath(args.checkpoint_dir), exist_ok=True)
-            cp = ocp.StandardCheckpointer()
-            cp.save(base_dir, jax.device_get(base_params))
-            cp.wait_until_finished()
+        # always rewrite: a stale base from a previous run in the same dir
+        # would silently corrupt evaluation merges
+        if os.path.exists(base_dir):
+            import shutil
+
+            shutil.rmtree(base_dir)
+        os.makedirs(os.path.abspath(args.checkpoint_dir), exist_ok=True)
+        cp = ocp.StandardCheckpointer()
+        cp.save(base_dir, jax.device_get(base_params))
+        cp.wait_until_finished()
     else:
         train_params, _ = shard_params(base_params, mesh,
                                        use_fsdp=args.fsdp > 1)

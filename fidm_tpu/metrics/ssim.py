@@ -31,6 +31,10 @@ def _uniform_filter(x, win: int):
 
 
 def _ssim_map(img1, img2, win_size: int, data_range: float):
+    if win_size < 3 or win_size % 2 == 0:
+        raise ValueError(
+            f"win_size must be odd and >= 3 (got {win_size}): the unbiased "
+            "covariance normalization divides by win_size^2 - 1")
     img1 = img1.astype(jnp.float32)
     img2 = img2.astype(jnp.float32)
     K1, K2 = 0.01, 0.03
@@ -74,11 +78,15 @@ def masked_ssim(img1, img2, mask, *, win_size: int = 11,
     """SSIM averaged over window positions centred in the mask (hole).
 
     Whole-image SSIM barely moves when ~90% of pixels are copied from GT —
-    the hole is the product. mask: [B,H,W,1], 1 = hole. Images with an empty
-    mask return 0 (no hole to score)."""
+    the hole is the product. mask: [B,H,W,1], 1 = hole. Images with an
+    empty mask return 0 (no hole to score). Like skimage's valid-window
+    SSIM, hole pixels within (win_size-1)//2 of the image border have no
+    centred window and are excluded; a hole lying entirely in that border
+    band scores 0."""
     s = _ssim_map(img1, img2, win_size, data_range)
     r = (win_size - 1) // 2
-    w = mask.astype(jnp.float32)[:, r:-r, r:-r, :]
+    H, W = mask.shape[1], mask.shape[2]
+    w = mask.astype(jnp.float32)[:, r:H - r, r:W - r, :]
     num = (s * w).sum(axis=(1, 2, 3))
     den = w.sum(axis=(1, 2, 3)) * s.shape[-1]
     return num / jnp.maximum(den, 1.0)

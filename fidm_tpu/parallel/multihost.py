@@ -19,21 +19,35 @@ __all__ = ["initialize", "launched_by_env", "host_local_slice",
            "global_batch"]
 
 # environment markers set by the standard multi-host launchers (TPU pod
-# runtime, GKE/JobSet, SLURM, Open MPI) that jax.distributed.initialize()
-# can auto-configure from with no explicit arguments
+# runtime, GKE/JobSet) that jax.distributed.initialize() can auto-configure
+# from with no explicit arguments
 _LAUNCHER_ENV_VARS = (
     "COORDINATOR_ADDRESS",
     "JAX_COORDINATOR_ADDRESS",
     "TPU_WORKER_HOSTNAMES",
     "MEGASCALE_COORDINATOR_ADDRESS",
-    "SLURM_JOB_ID",
-    "OMPI_COMM_WORLD_SIZE",
 )
+# launchers that also need evidence of MORE THAN ONE task: a bare
+# SLURM_JOB_ID inside `salloc`/sbatch (single task) must stay a no-op —
+# jax's cluster detection would crash or hang there
+_LAUNCHER_SIZE_VARS = ("SLURM_STEP_NUM_TASKS", "SLURM_NTASKS",
+                       "OMPI_COMM_WORLD_SIZE")
 
 
 def launched_by_env() -> bool:
-    """True when a recognized multi-process launcher environment is present."""
-    return any(v in os.environ for v in _LAUNCHER_ENV_VARS)
+    """True when a recognized MULTI-process launcher environment is present.
+
+    Single-process environments (plain shells, salloc with one task) must
+    return False so `initialize()` stays a no-op there."""
+    if any(v in os.environ for v in _LAUNCHER_ENV_VARS):
+        return True
+    for v in _LAUNCHER_SIZE_VARS:
+        try:
+            if int(os.environ.get(v, "1")) > 1:
+                return True
+        except ValueError:
+            pass
+    return False
 
 
 def initialize(coordinator_address: Optional[str] = None,

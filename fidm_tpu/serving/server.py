@@ -25,6 +25,7 @@ request to override.
 from __future__ import annotations
 
 import io
+import itertools
 import json
 import queue
 import threading
@@ -72,7 +73,7 @@ class InpaintingServer:
         if self.batch_sizes[-1] != batch_size:
             raise ValueError("batch_sizes must include batch_size")
         self.base_seed = base_seed
-        self._seed_counter = 0
+        self._seed_counter = itertools.count(1)  # atomic in CPython
         self.queue: "queue.Queue[_Request]" = queue.Queue()
         self.stats = {"requests": 0, "batches": 0, "batch_fill_sum": 0,
                       "batches_by_size": {s: 0 for s in self.batch_sizes}}
@@ -90,8 +91,7 @@ class InpaintingServer:
             raise ValueError(f"mask must be [{S},{S},1], got {mask.shape}")
         if seed is None:
             # deterministic by default: base_seed + arrival index
-            self._seed_counter += 1
-            seed = self.base_seed + self._seed_counter
+            seed = self.base_seed + next(self._seed_counter)
         req = _Request(np.asarray(image, np.float32),
                        np.asarray(mask, np.float32), int(seed))
         self.queue.put(req)
@@ -106,7 +106,10 @@ class InpaintingServer:
         for s in self.batch_sizes:
             gt = np.repeat(img[None], s, 0)
             mask = np.repeat(msk[None], s, 0)
-            np.asarray(self.pipeline.inpaint(gt, mask, jax.random.PRNGKey(0)))
+            out = self.pipeline.inpaint(gt, mask, jax.random.PRNGKey(0))
+            # tiny scalar readback forces execution; never pull the full
+            # batch through the (slow) device->host path just to discard it
+            float(np.asarray(out[0, 0, 0, 0]))
         return self
 
     def _dispatch_loop(self):
@@ -139,7 +142,13 @@ class InpaintingServer:
         pad = size - n
         gt = np.stack([r.image for r in batch] + [batch[-1].image] * pad)
         mask = np.stack([r.mask for r in batch] + [batch[-1].mask] * pad)
+        # every request's seed folds into the batch key, so results are
+        # deterministic given the request stream (not just the first
+        # requester's seed); full per-request seed isolation requires its
+        # own batch (batch_size=1)
         key = jax.random.PRNGKey(batch[0].seed)
+        for r in batch[1:]:
+            key = jax.random.fold_in(key, r.seed)
         try:
             out = np.asarray(self.pipeline.inpaint(gt, mask, key))
         except Exception as e:  # resolve every waiter with the error

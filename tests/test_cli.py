@@ -240,7 +240,9 @@ def test_serve_cli_parse_defaults():
     from fidm_tpu.cli.serve import parse_args
 
     args = parse_args([])
-    assert args.preset == "dpm-25"  # latency-first serving default
+    # latency-first AND hard-mask-robust serving default (stochastic
+    # variant: deterministic dpm++2m collapses on hard irregular masks)
+    assert args.preset == "dpm-25-sde"
     assert args.batch_sizes is None
     assert args.base_seed == 0
     args2 = parse_args(["--batch_sizes", "1", "4", "8", "--preset",
@@ -302,3 +304,16 @@ def test_lora_train_then_evaluate_roundtrip(data_tree, tmp_path):
         "--no_save_images", *TINY_MODEL,
     ])
     assert np.isfinite(results["ssim_mean"])
+
+
+def test_fid_stats_without_weights_errors(data_tree, tmp_path):
+    from fidm_tpu.cli.evaluate import main as eval_main
+
+    img_dir, mask_dir = data_tree
+    with pytest.raises(ValueError, match="fid_weights"):
+        eval_main([
+            "--data_dir", img_dir, "--mask_dir", mask_dir,
+            "--output_dir", str(tmp_path / "x"), "--quick_test",
+            "--fid_stats", str(tmp_path / "nonexistent.npz"),
+            "--no_save_images", *TINY_MODEL,
+        ])

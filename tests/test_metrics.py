@@ -157,3 +157,21 @@ def test_masked_ssim_ignores_known_region():
     # empty mask -> defined (0), not NaN
     empty = np.zeros_like(mask)
     assert float(np.asarray(masked_ssim(a, b, empty))[0]) == 0.0
+
+
+def test_ssim_win_size_validation_and_small_window():
+    """Regression: win_size=1 previously hit an empty [0:0] mask slice /
+    div-by-zero; now degenerate windows are rejected up front and the
+    smallest valid window works."""
+    from fidm_tpu.metrics import masked_ssim
+
+    rng = np.random.default_rng(9)
+    a = rng.uniform(0, 1, (1, 16, 16, 3)).astype(np.float32)
+    mask = np.ones((1, 16, 16, 1), np.float32)
+    val = float(np.asarray(masked_ssim(a, a, mask, win_size=3))[0])
+    assert val == pytest.approx(1.0, abs=1e-5)
+    for bad in (1, 2, 4):
+        with pytest.raises(ValueError, match="win_size"):
+            masked_ssim(a, a, mask, win_size=bad)
+        with pytest.raises(ValueError, match="win_size"):
+            ssim(a, a, win_size=bad)

@@ -74,7 +74,7 @@ def test_graft_dryrun_multichip():
 def test_multihost_initialize_single_process_noop(monkeypatch):
     from fidm_tpu.parallel import multihost
 
-    for v in multihost._LAUNCHER_ENV_VARS:
+    for v in (multihost._LAUNCHER_ENV_VARS + multihost._LAUNCHER_SIZE_VARS):
         monkeypatch.delenv(v, raising=False)
     assert multihost.initialize() is False
     assert multihost.initialize(num_processes=1) is False
@@ -84,9 +84,19 @@ def test_multihost_initialize_single_process_noop(monkeypatch):
 def test_multihost_launcher_env_detection(monkeypatch):
     from fidm_tpu.parallel import multihost
 
-    for v in multihost._LAUNCHER_ENV_VARS:
+    for v in (multihost._LAUNCHER_ENV_VARS + multihost._LAUNCHER_SIZE_VARS
+              + ("SLURM_JOB_ID",)):
         monkeypatch.delenv(v, raising=False)
+    # a bare SLURM_JOB_ID (salloc shell, single task) must NOT trigger
+    # distributed init — jax cluster detection would crash or hang there
     monkeypatch.setenv("SLURM_JOB_ID", "12345")
+    assert multihost.launched_by_env() is False
+    # multi-task evidence does
+    monkeypatch.setenv("SLURM_NTASKS", "4")
+    assert multihost.launched_by_env() is True
+    monkeypatch.setenv("SLURM_NTASKS", "1")
+    assert multihost.launched_by_env() is False
+    monkeypatch.setenv("COORDINATOR_ADDRESS", "10.0.0.1:1234")
     assert multihost.launched_by_env() is True
 
 

@@ -159,3 +159,25 @@ def test_warmup_compiles_every_shape(pipeline):
         assert len(pipeline._jitted) >= len(server.batch_sizes)
     finally:
         server.close()
+
+
+def test_explicit_request_seed_changes_batch_result(pipeline):
+    """Regression: every request's seed folds into the batch key — a
+    non-first request's explicit seed must affect the output."""
+    def run(seed_b):
+        server = InpaintingServer(pipeline, batch_size=2, max_wait_ms=500)
+        try:
+            f1 = server.submit(*_sample_input(0), seed=1)
+            f2 = server.submit(*_sample_input(1), seed=seed_b)
+            return f1.result(timeout=300), f2.result(timeout=300)
+        finally:
+            server.close()
+
+    a1, a2 = run(seed_b=2)
+    b1, b2 = run(seed_b=999)
+    # different second-request seed changes results (stream determinism)
+    assert not np.array_equal(a2, b2)
+    # identical stream reproduces exactly
+    c1, c2 = run(seed_b=2)
+    np.testing.assert_array_equal(a1, c1)
+    np.testing.assert_array_equal(a2, c2)
