@@ -368,8 +368,15 @@ def main(argv=None):
     with open(os.path.join(args.output_dir, "metrics.txt"), "w") as f:
         for k, v in results.items():
             f.write(f"{k}: {v}\n")
+    # metrics.json additionally carries per-sample values (in dataset
+    # order) for downstream analysis — worst-case mining, significance
+    # tests — without rerunning the sampler; summaries stay on stdout
+    per_sample = {"ssim": ssims, "psnr": psnrs, "hole_ssim": hole_ssims,
+                  "hole_psnr": hole_psnrs}
+    if lpips_vals:
+        per_sample["lpips"] = lpips_vals
     with open(os.path.join(args.output_dir, "metrics.json"), "w") as f:
-        json.dump(results, f, indent=2)
+        json.dump({**results, "per_sample": per_sample}, f, indent=2)
     print(json.dumps(results, indent=2))
     return results
 

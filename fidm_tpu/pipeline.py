@@ -182,15 +182,24 @@ class InpaintingPipeline:
         self._jitted.clear()
         return self
 
-    def inpaint(self, gt, mask, key, sampler: Optional[SamplerConfig] = None):
-        """Inpaint a batch: gt [B,H,W,3] in [-1,1], mask [B,H,W,1] (1=hole)."""
+    def inpaint(self, gt, mask, key, sampler: Optional[SamplerConfig] = None,
+                cond_fn=None):
+        """Inpaint a batch: gt [B,H,W,3] in [-1,1], mask [B,H,W,1] (1=hole).
+
+        `cond_fn(x, t) -> grad log p(y|x_t)` enables classifier guidance
+        (reference `condition_mean`/`condition_score` semantics inside the
+        scan). The jitted program is cached per (shape, config, cond_fn
+        identity) — reuse one cond_fn object across calls to avoid
+        recompiles.
+        """
         cfg = sampler or self.config.sampler
         if mask.shape[-1] != 1 or mask.shape[:-1] != gt.shape[:-1]:
             raise ValueError(
                 f"mask must be [B,H,W,1] matching gt spatial dims; got "
                 f"mask {mask.shape} vs gt {gt.shape}"
             )
-        cache_key = (gt.shape, cfg)
+        cache_key = (gt.shape, cfg,
+                     id(cond_fn) if cond_fn is not None else None)
         if cache_key not in self._jitted:
             t_scale = (
                 1000.0 / self.config.num_timesteps
@@ -217,7 +226,8 @@ class InpaintingPipeline:
 
                 return inpaint_sample(apply_fn, self.sched, cfg,
                                       gt=gt, mask=mask, key=key,
-                                      cache_apply=cache_apply)
+                                      cache_apply=cache_apply,
+                                      cond_fn=cond_fn)
 
             if self.mesh is not None:
                 from .parallel import batch_sharding, replicated

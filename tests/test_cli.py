@@ -64,7 +64,12 @@ def test_evaluate_cli_quick_test(data_tree, tmp_path):
     assert os.path.exists(os.path.join(out_dir, "inpainted", "00000.png"))
     assert os.path.exists(os.path.join(out_dir, "comparison_batch000.png"))
     with open(os.path.join(out_dir, "metrics.json")) as f:
-        assert json.load(f)["preset"] == "ddim-100"
+        blob = json.load(f)
+    assert blob["preset"] == "ddim-100"
+    # per-sample values for downstream analysis, in dataset order
+    assert len(blob["per_sample"]["hole_psnr"]) == 6
+    assert blob["per_sample"]["ssim"][0] == pytest.approx(
+        results["ssim_mean"], abs=1.0)
 
 
 def test_train_cli_one_epoch(data_tree, tmp_path):

@@ -119,3 +119,43 @@ def test_ddim20_fast_preset():
     p = SAMPLER_PRESETS["ddim-20-fast"]
     assert p.method == "ddim" and p.num_steps == 20
     assert p.encoder_cache_period == 2
+
+
+def test_pipeline_inpaint_cond_fn():
+    """Classifier guidance through the pipeline convenience layer: guided
+    result differs from unguided, known pixels still exact, and the jit
+    cache keys on the cond_fn identity."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from fidm_tpu.models import UNetConfig
+    from fidm_tpu.pipeline import InpaintingPipeline, PipelineConfig
+    from fidm_tpu.sampling import SamplerConfig
+
+    cfg = PipelineConfig(
+        unet=UNetConfig(image_size=16, in_channels=9, model_channels=32,
+                        out_channels=6, num_res_blocks=1,
+                        attention_resolutions=(), channel_mult=(1, 2),
+                        num_heads=2, num_head_channels=16,
+                        dtype=jnp.float32),
+        schedule="linear", num_timesteps=50,
+        sampler=SamplerConfig(method="ddim", num_steps=5, eta=0.0),
+    )
+    pipe = InpaintingPipeline.create(cfg)
+    rng = np.random.default_rng(0)
+    gt = np.clip(rng.standard_normal((2, 16, 16, 3)).astype(np.float32) * 0.4,
+                 -1, 1)
+    mask = np.zeros((2, 16, 16, 1), np.float32)
+    mask[:, 4:12, 4:12] = 1.0
+
+    def cond(x, t):
+        return 2.0 * (0.5 - x)
+
+    plain = np.asarray(pipe.inpaint(gt, mask, jax.random.PRNGKey(0)))
+    guided = np.asarray(pipe.inpaint(gt, mask, jax.random.PRNGKey(0),
+                                     cond_fn=cond))
+    keep = mask[..., 0] < 0.5
+    np.testing.assert_array_equal(guided[keep], gt[keep])
+    assert not np.array_equal(plain, guided)
+    assert len(pipe._jitted) == 2  # separate compiled program per cond_fn
