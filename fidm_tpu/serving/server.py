@@ -19,8 +19,10 @@ separate cached XLA program), pads the tail with repeats, runs the pipeline,
 and resolves the futures. Shallow queues therefore ride a small-batch
 program at small-batch latency instead of paying for a padded batch-8 run;
 deep queues still saturate the chip at the full batch size. Seeds default to
-a deterministic per-request counter (reproducible runs); pass `seed` per
-request to override.
+a deterministic per-request counter, and every request's seed (default or
+explicit) folds into its batch's PRNG key — identical request streams
+reproduce identical results; full per-request seed isolation requires
+batch_size=1.
 """
 from __future__ import annotations
 
