@@ -203,10 +203,17 @@ def main(argv=None):
 
             base_dir = os.path.join(os.path.abspath(ckpt), "lora_base")
             if not os.path.isdir(base_dir):
-                raise FileNotFoundError(
-                    f"{ckpt} holds a LoRA adapter but no lora_base/ — "
-                    "re-train with the current cli.train (it saves the "
-                    "frozen base) or merge manually with lora.merge_lora")
+                # crash mid-swap leaves the previous base at .old — valid
+                # for the adapters saved before the interrupted run
+                old_dir = base_dir + ".old"
+                if os.path.isdir(old_dir):
+                    base_dir = old_dir
+                else:
+                    raise FileNotFoundError(
+                        f"{ckpt} holds a LoRA adapter but no lora_base/ — "
+                        "re-train with the current cli.train (it saves the "
+                        "frozen base) or merge manually with "
+                        "lora.merge_lora")
             base = ocp.StandardCheckpointer().restore(base_dir)
             base = jax.tree_util.tree_map(jnp.asarray, base)
             params = merge_lora(
@@ -286,14 +293,22 @@ def main(argv=None):
         out01 = (out + 1) / 2
         ssims.extend(np.asarray(ssim(gt01, out01)).tolist())
         psnrs.extend(np.asarray(psnr(gt01, out01)).tolist())
-        # hole-region metrics: with blending, the rest of the image is GT;
-        # empty-mask samples have no hole to score and would skew the means
-        # in opposite directions (PSNR sentinel up, SSIM zero down)
-        has_hole = np.asarray(mask).sum(axis=(1, 2, 3)) > 0
-        hs = np.asarray(masked_ssim(gt01, out01, mask))[has_hole]
-        hp = np.asarray(masked_psnr(gt01, out01, mask))[has_hole]
-        hole_ssims.extend(hs.tolist())
-        hole_psnrs.extend(hp.tolist())
+        # hole-region metrics: with blending, the rest of the image is GT.
+        # Unscorable samples become None (not dropped), keeping per-sample
+        # arrays aligned with dataset/PNG order: PSNR needs a non-empty
+        # mask; SSIM additionally needs hole pixels with a centred valid
+        # window (outside the (win-1)/2 border band, metrics/ssim.py)
+        m = np.asarray(mask)
+        r = 5  # (11 - 1) // 2 for the default win_size
+        scorable_psnr = m.sum(axis=(1, 2, 3)) > 0
+        scorable_ssim = m[:, r:m.shape[1] - r, r:m.shape[2] - r].sum(
+            axis=(1, 2, 3)) > 0
+        hs = np.asarray(masked_ssim(gt01, out01, mask))
+        hp = np.asarray(masked_psnr(gt01, out01, mask))
+        hole_ssims.extend(
+            float(v) if ok else None for v, ok in zip(hs, scorable_ssim))
+        hole_psnrs.extend(
+            float(v) if ok else None for v, ok in zip(hp, scorable_psnr))
         if lpips_fn is not None:
             lpips_vals.extend(lpips_fn(gt, out).tolist())
         reals.append(gt01)
@@ -346,10 +361,14 @@ def main(argv=None):
         "sampler": str(sampler),
         "ssim_mean": float(np.mean(ssims)),
         "psnr_mean": float(np.mean(psnrs)),
-        "hole_ssim_mean": float(np.mean(hole_ssims)) if hole_ssims
-        else float("nan"),
-        "hole_psnr_mean": float(np.mean(hole_psnrs)) if hole_psnrs
-        else float("nan"),
+        # None (JSON null) when no sample was scorable — never NaN, which
+        # json.dump would emit as an invalid-JSON token
+        "hole_ssim_mean": (
+            float(np.mean([v for v in hole_ssims if v is not None]))
+            if any(v is not None for v in hole_ssims) else None),
+        "hole_psnr_mean": (
+            float(np.mean([v for v in hole_psnrs if v is not None]))
+            if any(v is not None for v in hole_psnrs) else None),
         "fid_proxy": float(fid_proxy),
         # includes the first (compile) batch — the reference harness times
         # the same way (test_inpainting_better.py:732-739)

@@ -162,23 +162,32 @@ def main(argv=None):
         train_params = lora
         print(f"LoRA: training {lora_param_count(lora):,} params "
               f"(rank {args.lora_rank})")
-        # persist the frozen base once: training checkpoints hold only the
+        # persist the frozen base: training checkpoints hold only the
         # adapter pytree, so evaluation needs this to merge against
-        # (cli.evaluate auto-detects adapter checkpoints and merges)
+        # (cli.evaluate auto-detects adapter checkpoints and merges).
+        # A resumed run keeps the existing base — the adapters in this dir
+        # belong to it; a fresh run rewrites it ATOMICALLY (save to a tmp
+        # dir, swap) so a crash mid-write never destroys the only copy,
+        # and a stale base from an unrelated earlier run never survives.
+        import shutil
+
         import orbax.checkpoint as ocp
 
-        base_dir = os.path.join(os.path.abspath(args.checkpoint_dir),
-                                "lora_base")
-        # always rewrite: a stale base from a previous run in the same dir
-        # would silently corrupt evaluation merges
-        if os.path.exists(base_dir):
-            import shutil
-
-            shutil.rmtree(base_dir)
-        os.makedirs(os.path.abspath(args.checkpoint_dir), exist_ok=True)
-        cp = ocp.StandardCheckpointer()
-        cp.save(base_dir, jax.device_get(base_params))
-        cp.wait_until_finished()
+        ckdir = os.path.abspath(args.checkpoint_dir)
+        base_dir = os.path.join(ckdir, "lora_base")
+        if not (args.resume and os.path.isdir(base_dir)):
+            os.makedirs(ckdir, exist_ok=True)
+            tmp_dir = os.path.join(ckdir, "lora_base.tmp")
+            old_dir = os.path.join(ckdir, "lora_base.old")
+            shutil.rmtree(tmp_dir, ignore_errors=True)
+            shutil.rmtree(old_dir, ignore_errors=True)
+            cp = ocp.StandardCheckpointer()
+            cp.save(tmp_dir, jax.device_get(base_params))
+            cp.wait_until_finished()
+            if os.path.isdir(base_dir):
+                os.rename(base_dir, old_dir)
+            os.rename(tmp_dir, base_dir)
+            shutil.rmtree(old_dir, ignore_errors=True)
     else:
         train_params, _ = shard_params(base_params, mesh,
                                        use_fsdp=args.fsdp > 1)

@@ -200,6 +200,14 @@ class InpaintingPipeline:
             )
         cache_key = (gt.shape, cfg,
                      id(cond_fn) if cond_fn is not None else None)
+        if cond_fn is not None and cache_key not in self._jitted:
+            # bound the cond_fn-keyed programs: each fresh closure is a
+            # full recompile, and a long-lived process constructing one
+            # lambda per call would otherwise grow program memory without
+            # limit — evict the oldest guided program beyond 4
+            guided = [k for k in self._jitted if k[2] is not None]
+            if len(guided) >= 4:
+                del self._jitted[guided[0]]
         if cache_key not in self._jitted:
             t_scale = (
                 1000.0 / self.config.num_timesteps

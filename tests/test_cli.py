@@ -66,10 +66,14 @@ def test_evaluate_cli_quick_test(data_tree, tmp_path):
     with open(os.path.join(out_dir, "metrics.json")) as f:
         blob = json.load(f)
     assert blob["preset"] == "ddim-100"
-    # per-sample values for downstream analysis, in dataset order
+    # per-sample values for downstream analysis, aligned to dataset order
     assert len(blob["per_sample"]["hole_psnr"]) == 6
-    assert blob["per_sample"]["ssim"][0] == pytest.approx(
-        results["ssim_mean"], abs=1.0)
+    assert len(blob["per_sample"]["ssim"]) == 6
+    assert np.mean(blob["per_sample"]["ssim"]) == pytest.approx(
+        results["ssim_mean"], abs=1e-9)
+    vals = [v for v in blob["per_sample"]["hole_psnr"] if v is not None]
+    assert np.mean(vals) == pytest.approx(results["hole_psnr_mean"],
+                                          abs=1e-9)
 
 
 def test_train_cli_one_epoch(data_tree, tmp_path):
@@ -322,3 +326,46 @@ def test_fid_stats_without_weights_errors(data_tree, tmp_path):
             "--fid_stats", str(tmp_path / "nonexistent.npz"),
             "--no_save_images", *TINY_MODEL,
         ])
+
+
+def test_evaluate_empty_mask_samples_stay_aligned(tmp_path):
+    """Samples whose mask has no hole get None in the per-sample hole
+    arrays (keeping dataset alignment) and are excluded from the means."""
+    from PIL import Image as _Image
+
+    from fidm_tpu.cli.evaluate import main
+
+    img_dir = tmp_path / "imgs"
+    mask_dir = tmp_path / "masks" / "test"
+    img_dir.mkdir()
+    mask_dir.mkdir(parents=True)
+    rng = np.random.default_rng(0)
+    for i in range(4):
+        _Image.fromarray(
+            rng.integers(0, 255, (32, 32, 3), dtype=np.uint8)
+        ).save(img_dir / f"img_{i}.png")
+    # mask 0: normal box hole; mask 1: all-white = NO hole
+    m = np.full((32, 32), 255, np.uint8)
+    m[8:24, 8:24] = 0
+    _Image.fromarray(m).save(mask_dir / "mask_0.png")
+    _Image.fromarray(np.full((32, 32), 255, np.uint8)).save(
+        mask_dir / "mask_1.png")
+
+    out_dir = str(tmp_path / "res")
+    results = main([
+        "--data_dir", str(img_dir), "--mask_dir", str(tmp_path / "masks"),
+        "--output_dir", out_dir, "--quick_test", "--diffusion_steps", "100",
+        "--no_save_images", *TINY_MODEL,
+    ])
+    with open(os.path.join(out_dir, "metrics.json")) as f:
+        blob = json.load(f)
+    hole = blob["per_sample"]["hole_psnr"]
+    assert len(hole) == 4
+    # ordered masks cycle 0,1,0,1 -> samples 1 and 3 unscorable
+    assert hole[1] is None and hole[3] is None
+    assert hole[0] is not None and hole[2] is not None
+    assert np.isfinite(results["hole_psnr_mean"])
+    assert results["hole_psnr_mean"] == pytest.approx(
+        np.mean([hole[0], hole[2]]), abs=1e-9)
+    # json must be strictly valid (no NaN tokens)
+    json.loads(open(os.path.join(out_dir, "metrics.json")).read())

@@ -159,3 +159,36 @@ def test_pipeline_inpaint_cond_fn():
     np.testing.assert_array_equal(guided[keep], gt[keep])
     assert not np.array_equal(plain, guided)
     assert len(pipe._jitted) == 2  # separate compiled program per cond_fn
+
+
+def test_pipeline_cond_fn_cache_bounded():
+    """Guided programs are evicted beyond 4 cond_fn identities (each fresh
+    closure is a full recompile; long-lived processes must not grow
+    without bound)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from fidm_tpu.models import UNetConfig
+    from fidm_tpu.pipeline import InpaintingPipeline, PipelineConfig
+    from fidm_tpu.sampling import SamplerConfig
+
+    cfg = PipelineConfig(
+        unet=UNetConfig(image_size=8, in_channels=9, model_channels=32,
+                        out_channels=6, num_res_blocks=1,
+                        attention_resolutions=(), channel_mult=(1, 2),
+                        num_heads=2, num_head_channels=16,
+                        dtype=jnp.float32),
+        schedule="linear", num_timesteps=20,
+        sampler=SamplerConfig(method="ddim", num_steps=2, eta=0.0),
+    )
+    pipe = InpaintingPipeline.create(cfg)
+    gt = np.zeros((1, 8, 8, 3), np.float32)
+    mask = np.ones((1, 8, 8, 1), np.float32)
+    pipe.inpaint(gt, mask, jax.random.PRNGKey(0))  # unguided entry
+    fns = [lambda x, t, s=s: s * x for s in range(6)]
+    for fn in fns:
+        pipe.inpaint(gt, mask, jax.random.PRNGKey(0), cond_fn=fn)
+    guided = [k for k in pipe._jitted if k[2] is not None]
+    assert len(guided) == 4  # bounded
+    assert len(pipe._jitted) == 5  # unguided program untouched
