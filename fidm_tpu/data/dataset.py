@@ -7,9 +7,10 @@ Clean-room NHWC/numpy re-design of `/root/reference/code/data/dataset.py`:
   `data/dataset.py:84-105`), random (seeded), ordered (`idx % n_masks`,
   `data/dataset.py:273`), or *procedural* mask assignment (the README-promised
   generator the reference never implemented).
-- Images load via PIL, resize to `img_size`, normalize to [-1, 1]
-  (`data/dataset.py:38-42`); masks follow black=inpaint inversion
-  (`data/dataset.py:136-142`).
+- Images decode via the native C++ loader (native/imgload.cpp — libjpeg/
+  libpng + Pillow bit-compatible resize; PIL fallback per item), resize to
+  `img_size`, normalize to [-1, 1] (`data/dataset.py:38-42`); masks follow
+  black=inpaint inversion (`data/dataset.py:136-142`).
 - `DataLoader` — a lightweight multi-epoch batcher (shuffle / drop-last /
   optional subset) yielding dicts of stacked NHWC numpy arrays, with an
   optional double-buffered device prefetcher for TPU feeding.
@@ -49,12 +50,23 @@ def list_images(directory) -> List[Path]:
     return sorted(set(files))
 
 
-def load_image(path, size: int) -> np.ndarray:
-    """RGB image resized to size x size, float32 NHWC in [-1, 1]."""
+def _decode_rgb_u8(path, size: int) -> np.ndarray:
+    """uint8 [size, size, 3] via the native decoder (imgload.cpp,
+    bit-identical to PIL), falling back to PIL per item."""
+    from ..native.imgload import decode_resize
+
+    u8 = decode_resize(path, size, "RGB")
+    if u8 is not None:
+        return u8
     from PIL import Image
 
     img = Image.open(path).convert("RGB").resize((size, size), Image.BILINEAR)
-    arr = np.asarray(img, np.float32) / 255.0
+    return np.asarray(img, np.uint8)
+
+
+def load_image(path, size: int) -> np.ndarray:
+    """RGB image resized to size x size, float32 NHWC in [-1, 1]."""
+    arr = _decode_rgb_u8(path, size).astype(np.float32) / 255.0
     return arr * 2.0 - 1.0
 
 
@@ -88,15 +100,9 @@ def _normalize_compose(u8: np.ndarray, mask: np.ndarray):
 
 
 def _decode_normalize_compose(path, mask: np.ndarray, size: int):
-    """(image, masked_image) from an image file: PIL decode+resize, then the
-    fused normalize/compose kernel."""
-    from PIL import Image
-
-    u8 = np.asarray(
-        Image.open(path).convert("RGB").resize((size, size), Image.BILINEAR),
-        np.uint8,
-    )
-    return _normalize_compose(u8, mask)
+    """(image, masked_image) from an image file: native (or PIL)
+    decode+resize, then the fused normalize/compose kernel."""
+    return _normalize_compose(_decode_rgb_u8(path, size), mask)
 
 
 class InpaintingDataset:

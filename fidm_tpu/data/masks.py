@@ -123,8 +123,16 @@ def mask_from_array(gray: np.ndarray) -> np.ndarray:
 
 def load_mask(path: str, size: int) -> np.ndarray:
     """Load a mask file, resize, and apply the black=inpaint inversion
-    (`data/dataset.py:128-142`)."""
-    from PIL import Image
+    (`data/dataset.py:128-142`). Decodes via the native loader
+    (imgload.cpp, bit-identical to PIL's convert("L")+BILINEAR resize)
+    with a PIL fallback."""
+    from ..native.imgload import decode_resize
 
-    m = Image.open(path).convert("L").resize((size, size), Image.BILINEAR)
+    m = decode_resize(path, size, "L")
+    if m is None:
+        from PIL import Image
+
+        m = np.asarray(
+            Image.open(path).convert("L").resize((size, size), Image.BILINEAR)
+        )
     return mask_from_array(np.asarray(m, np.float32) / 255.0)

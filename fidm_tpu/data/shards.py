@@ -57,9 +57,18 @@ def pack_dataset(data_dir, out_dir, img_size: int = 256,
     shards = []
     for s, start in enumerate(range(0, len(images), shard_size)):
         chunk = images[start : start + shard_size]
-        arr = np.empty((len(chunk), img_size, img_size, 3), np.uint8)
-        for i, p in enumerate(chunk):
-            img = Image.open(p).convert("RGB").resize(
+        # Native threaded batch decode (bit-identical to the PIL path);
+        # per-item PIL fallback for anything the C++ decoder rejects.
+        from ..native.imgload import decode_resize_batch
+
+        res = decode_resize_batch(chunk, img_size, "RGB")
+        if res is not None:
+            arr, ok = res
+        else:
+            arr = np.empty((len(chunk), img_size, img_size, 3), np.uint8)
+            ok = np.zeros((len(chunk),), bool)
+        for i in np.nonzero(~ok)[0]:
+            img = Image.open(chunk[i]).convert("RGB").resize(
                 (img_size, img_size), Image.BILINEAR
             )
             arr[i] = np.asarray(img, np.uint8)
