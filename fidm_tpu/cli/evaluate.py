@@ -39,10 +39,14 @@ def parse_args(argv=None):
                         "ddim-20-fast | dpm-25 | dpm-20 | dpm-20-fast | "
                         "dpm-25-sde | repaint-250 | repaint-100-light")
     p.add_argument("--time_spacing", default=None,
-                   choices=["uniform", "trailing", "lambda"],
+                   choices=["uniform", "trailing", "lambda", "karras"],
                    help="how steps are placed on the chain (default: preset)")
     p.add_argument("--ddim_timesteps", type=int, default=None,
                    help="override preset step count")
+    p.add_argument("--timesteps", type=int, nargs="+", default=None,
+                   help="explicit descending timestep grid (overrides "
+                        "step count) — e.g. a distilled student's grid "
+                        "from cli.distill's grid.json")
     p.add_argument("--eta", type=float, default=None, help="override preset eta")
     p.add_argument("--schedule", default="quadratic",
                    choices=["linear", "cosine", "quadratic", "sqrt"])
@@ -160,6 +164,9 @@ def main(argv=None):
     )
     if args.time_spacing is not None:
         sampler = dataclasses.replace(sampler, time_spacing=args.time_spacing)
+    if args.timesteps is not None:
+        sampler = dataclasses.replace(sampler,
+                                      timesteps=tuple(args.timesteps))
     if args.encoder_cache is not None:
         sampler = dataclasses.replace(
             sampler, encoder_cache_period=args.encoder_cache)

@@ -21,6 +21,9 @@ def make_lr_schedule(
     min_lr_ratio: float = 0.01,
 ):
     """Build an optax schedule: 'cosine' | 'step' | 'none'."""
+    # Short runs (smoke tests, tiny distill rounds) can ask for more warmup
+    # than total steps; optax requires decay_steps > warmup_steps.
+    warmup_steps = min(warmup_steps, max(total_steps - 1, 0))
     if kind == "cosine":
         if warmup_steps > 0:
             return optax.warmup_cosine_decay_schedule(

@@ -369,3 +369,43 @@ def test_evaluate_empty_mask_samples_stay_aligned(tmp_path):
         np.mean([hole[0], hole[2]]), abs=1e-9)
     # json must be strictly valid (no NaN tokens)
     json.loads(open(os.path.join(out_dir, "metrics.json")).read())
+
+
+def test_distill_cli_ladder_then_evaluate(data_tree, tmp_path):
+    """Train one epoch -> distill 4->2->1 -> evaluate the 2-step student on
+    its exact grid via --timesteps."""
+    from fidm_tpu.cli.distill import main as distill_main, student_grid
+    from fidm_tpu.cli.evaluate import main as eval_main
+    from fidm_tpu.cli.train import main as train_main
+
+    img_dir, mask_dir = data_tree
+    ckpt_dir = str(tmp_path / "teacher")
+    out_dir = str(tmp_path / "distilled")
+    train_main([
+        "--train_dir", img_dir, "--val_dir", img_dir, "--mask_dir", mask_dir,
+        "--checkpoint_dir", ckpt_dir, "--batch_size", "2",
+        "--num_epochs", "1", "--diffusion_steps", "50", *TINY_MODEL,
+    ])
+    report = distill_main([
+        "--train_dir", img_dir, "--mask_dir", mask_dir,
+        "--checkpoint", ckpt_dir, "--out", out_dir,
+        "--teacher_steps", "4", "--final_steps", "1",
+        "--steps_per_round", "3", "--batch_size", "2",
+        "--diffusion_steps", "50", *TINY_MODEL,
+    ])
+    assert [r["student_steps"] for r in report["rounds"]] == [2, 1]
+    assert all(np.isfinite(r["final_loss"]) for r in report["rounds"])
+    sdir = os.path.join(out_dir, "student_2")
+    with open(os.path.join(sdir, "grid.json")) as f:
+        blob = json.load(f)
+    assert blob["grid"] == student_grid(50, 2)
+    assert len(blob["grid"]) == 2 and blob["grid"][0] > blob["grid"][1]
+    results = eval_main([
+        "--data_dir", img_dir, "--mask_dir", mask_dir,
+        "--output_dir", str(tmp_path / "eval_student"), "--quick_test",
+        "--diffusion_steps", "50", "--checkpoint", sdir,
+        "--mean_type", blob["mean_type"],
+        "--timesteps", *[str(t) for t in blob["grid"]],
+        "--no_save_images", *TINY_MODEL,
+    ])
+    assert np.isfinite(results["ssim_mean"])

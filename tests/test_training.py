@@ -128,6 +128,10 @@ def test_lr_schedules():
     assert float(step(70)) == pytest.approx(2.5e-4)
     none = make_lr_schedule("none", 1e-3, total_steps=10)
     assert float(none(5)) == pytest.approx(1e-3)
+    # warmup longer than the run must clamp, not crash (optax requires
+    # decay_steps > warmup_steps) — hit by short distill rounds
+    short = make_lr_schedule("cosine", 1e-3, total_steps=3, warmup_steps=100)
+    assert 0.0 <= float(short(1)) <= 1e-3
 
 
 def test_train_then_sample_smoke():
