@@ -169,6 +169,11 @@ def timestep_sequence(
     - "lambda": uniform in half-log-SNR lambda = 0.5*log(acp/(1-acp)) between
       t=T-1 and t=0 — the spacing DPM-Solver's error bounds assume
       (arXiv:2206.00927 §3.4); requires `alphas_cumprod`.
+    - "karras": the rho=7 sigma schedule of Karras et al. 2022
+      (arXiv:2206.00364 eq. 5) on the VP noise scale
+      sigma = sqrt((1-acp)/acp), mapped to the nearest discrete timesteps —
+      denser near sigma_min than "lambda", the standard few-step spacing in
+      modern samplers; requires `alphas_cumprod`.
     """
     T, K = total_timesteps, num_steps
     if spacing == "uniform":
@@ -176,18 +181,33 @@ def timestep_sequence(
     if spacing == "trailing":
         seq = np.round(np.arange(T, 0, -T / K)).astype(np.int64) - 1
         return np.unique(seq)[::-1].copy()
-    if spacing == "lambda":
+    if spacing in ("lambda", "karras"):
         if alphas_cumprod is None:
-            raise ValueError("lambda spacing requires alphas_cumprod")
+            raise ValueError(f"{spacing} spacing requires alphas_cumprod")
         if K > T:
             raise ValueError(f"num_steps {K} > total_timesteps {T}")
         acp = np.asarray(alphas_cumprod, np.float64)
-        lam = 0.5 * (np.log(acp) - np.log1p(-acp))
-        targets = np.linspace(lam[T - 1], lam[0], K)
-        idx = np.abs(lam[None, :] - targets[:, None]).argmin(axis=1)
-        # nearest-index picks can collide where log-SNR moves fast; force a
+        if spacing == "lambda":
+            # uniform in half-log-SNR, from the noisiest level to the cleanest
+            scale = 0.5 * (np.log(acp) - np.log1p(-acp))
+            targets = np.linspace(scale[T - 1], scale[0], K)
+        else:
+            # Karras rho=7: uniform in sigma^(1/rho), descending sigma.
+            # scale is monotone in t the same way as lambda (ascending as t
+            # falls), so the same nearest-index mapping applies on -sigma.
+            rho = 7.0
+            sigma = np.sqrt((1.0 - acp) / acp)
+            ramp = np.linspace(0.0, 1.0, K)
+            s_max, s_min = sigma[T - 1], sigma[0]
+            targets_sigma = (
+                s_max ** (1 / rho) + ramp * (s_min ** (1 / rho) - s_max ** (1 / rho))
+            ) ** rho
+            scale = -sigma
+            targets = -targets_sigma
+        idx = np.abs(scale[None, :] - targets[:, None]).argmin(axis=1)
+        # nearest-index picks can collide where the scale moves fast; force a
         # strictly descending grid of exactly K steps (idx is descending in
-        # t: targets run from lam[T-1] up to lam[0])
+        # t: targets run from the t=T-1 level to the t=0 level)
         out = np.empty(K, dtype=np.int64)
         prev = T
         for j, i in enumerate(idx):

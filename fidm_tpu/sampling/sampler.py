@@ -53,8 +53,9 @@ class SamplerConfig:
     # to sample progressive-distillation students on their training grid
     timesteps: Optional[tuple] = None
     # how num_steps are placed on the T-step chain: "uniform" (reference
-    # parity), "trailing" (arXiv:2305.08891), or "lambda" (uniform in
-    # log-SNR, the spacing DPM-Solver's error bounds assume)
+    # parity), "trailing" (arXiv:2305.08891), "lambda" (uniform in
+    # log-SNR, the spacing DPM-Solver's error bounds assume), or "karras"
+    # (rho=7 sigma ramp, arXiv:2206.00364 — denser near sigma_min)
     time_spacing: str = "uniform"
     eta: float = 0.0
     clip_denoised: bool = True

@@ -136,7 +136,7 @@ def test_timestep_sequence_spacings():
     np.testing.assert_array_equal(
         timestep_sequence(T, K, "uniform"), ddim_timestep_sequence(T, K)
     )
-    for spacing in ("trailing", "lambda"):
+    for spacing in ("trailing", "lambda", "karras"):
         seq = timestep_sequence(T, K, spacing, alphas_cumprod=acp)
         assert (np.diff(seq) < 0).all()
         assert len(np.unique(seq)) == len(seq) == K
@@ -147,6 +147,16 @@ def test_timestep_sequence_spacings():
     # lambda concentrates steps near t=0 where log-SNR moves fastest
     lam = timestep_sequence(T, K, "lambda", alphas_cumprod=acp)
     assert lam[-1] == 0 and lam[-2] < tr[-2]
+    # karras endpoints hit the chain's sigma extremes exactly, and the rho=7
+    # grid maps back to the target sigma ramp (nearest-timestep rounding)
+    ka = timestep_sequence(T, K, "karras", alphas_cumprod=acp)
+    assert ka[0] == T - 1 and ka[-1] == 0
+    sigma = np.sqrt((1 - acp) / acp)
+    rho, ramp = 7.0, np.linspace(0, 1, K)
+    want = (sigma[T - 1] ** (1 / rho)
+            + ramp * (sigma[0] ** (1 / rho) - sigma[T - 1] ** (1 / rho))) ** rho
+    got = sigma[ka]
+    np.testing.assert_allclose(np.log(got[1:-1]), np.log(want[1:-1]), rtol=0.2)
 
 
 def test_sampler_time_spacing_integration():
@@ -167,7 +177,7 @@ def test_sampler_time_spacing_integration():
         return jnp.concatenate([eps, jnp.zeros_like(eps)], axis=-1)
 
     outs = {}
-    for spacing in ("uniform", "trailing", "lambda"):
+    for spacing in ("uniform", "trailing", "lambda", "karras"):
         for method in ("ddim", "dpm++2m"):
             cfg = SamplerConfig(method=method, num_steps=10, eta=0.0,
                                 injection=True, time_spacing=spacing)
