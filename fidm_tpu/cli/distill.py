@@ -108,6 +108,17 @@ def main(argv=None):
         args.teacher_steps // args.final_steps
     ) & (args.teacher_steps // args.final_steps - 1):
         raise SystemExit("teacher_steps must be final_steps * 2^n")
+    from ..distill import distill_boundaries
+
+    bounds = distill_boundaries(args.diffusion_steps, args.teacher_steps)
+    if not np.all(np.diff(bounds) < 0):
+        raise SystemExit(
+            f"teacher_steps={args.teacher_steps} does not fit a "
+            f"{args.diffusion_steps}-step chain (duplicate timestep "
+            f"boundaries); use teacher_steps < diffusion_steps")
+    if args.mask_dir is None and args.mask_mode != "procedural":
+        print("no --mask_dir: switching to procedural mask generation")
+        args.mask_mode = "procedural"
 
     key = jax.random.PRNGKey(args.seed)
     cfg = ffhq256_config(
@@ -171,9 +182,14 @@ def main(argv=None):
                 teacher_mean_type=cur_mt, student_mean_type=student_mt,
                 mesh=mesh,
             )
+            # Fold the round into the key: dstep derives noise via
+            # fold_in(key, state.step) and step restarts at 0 each round,
+            # so an unfolded key would replay round 1's noise sequence.
+            round_key = jax.random.fold_in(key, cur_steps)
             last = {}
             for i in range(args.steps_per_round):
-                dstate, last = dstep(dstate, cur_params, next(stream), key)
+                dstate, last = dstep(dstate, cur_params, next(stream),
+                                     round_key)
                 if i % max(1, args.steps_per_round // 10) == 0:
                     print(f"[{cur_steps}->{cur_steps // 2}] step {i} "
                           f"loss {float(last['loss']):.5f}", flush=True)

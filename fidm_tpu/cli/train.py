@@ -24,7 +24,8 @@ def parse_args(argv=None):
                    help="JSON file of argument defaults (CLI flags override)")
     p.add_argument("--train_dir", required=True)
     p.add_argument("--val_dir", required=True)
-    p.add_argument("--mask_dir", required=True)
+    p.add_argument("--mask_dir", default=None,
+                   help="mask directory (omit to train on procedural masks)")
     p.add_argument("--checkpoint_dir", default="checkpoints")
     p.add_argument("--pretrained", default=None,
                    help="torch .pt base checkpoint (FFHQ) to fine-tune from")
@@ -106,6 +107,9 @@ def main(argv=None):
     )
 
     args = parse_args(argv)
+    if args.mask_dir is None and args.mask_mode != "procedural":
+        print("no --mask_dir: switching to procedural mask generation")
+        args.mask_mode = "procedural"
     key = jax.random.PRNGKey(args.seed)
 
     train_loader, val_loader = create_inpainting_dataloaders(

@@ -33,7 +33,7 @@ def masked_mse(target, prediction, inpaint_mask):
     mask_c = jnp.broadcast_to(inpaint_mask, target.shape)
     mse = (target - prediction) ** 2 * mask_c
     # sum over spatial dims (NHWC -> axes 1,2), keep batch & channel
-    mask_area = jnp.clip(mask_c.sum(axis=(1, 2), keepdims=True), a_min=1.0)
+    mask_area = jnp.clip(mask_c.sum(axis=(1, 2), keepdims=True), min=1.0)
     per = mse.sum(axis=(1, 2), keepdims=True) / mask_area
     return per.mean()
 

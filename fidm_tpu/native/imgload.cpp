@@ -164,7 +164,9 @@ static void jpeg_err_exit(j_common_ptr cinfo) {
 static uint8_t* decode_jpeg(FILE* f, int* w, int* h) {
   jpeg_decompress_struct cinfo;
   JpegErr jerr;
-  uint8_t* buf = nullptr;
+  // volatile: modified between setjmp and longjmp and read in the handler
+  // (non-volatile would be indeterminate there — C11 7.13.2.1).
+  uint8_t* volatile buf = nullptr;
   cinfo.err = jpeg_std_error(&jerr.mgr);
   jerr.mgr.error_exit = jpeg_err_exit;
   if (setjmp(jerr.jb)) {
@@ -211,8 +213,9 @@ static uint8_t* decode_png(FILE* f, int* w, int* h) {
     png_destroy_read_struct(&png, nullptr, nullptr);
     return nullptr;
   }
-  uint8_t* buf = nullptr;
-  std::vector<png_bytep>* rowsp = nullptr;
+  // volatile: modified between setjmp and longjmp and read in the handler.
+  uint8_t* volatile buf = nullptr;
+  std::vector<png_bytep>* volatile rowsp = nullptr;
   if (setjmp(png_jmpbuf(png))) {
     png_destroy_read_struct(&png, &info, nullptr);
     free(buf);
@@ -227,7 +230,13 @@ static uint8_t* decode_png(FILE* f, int* w, int* h) {
   int depth = png_get_bit_depth(png, info);
   // Normalize everything to 8-bit RGB, alpha dropped (Pillow convert("RGB")
   // discards alpha without compositing).
-  if (depth == 16) png_set_strip_16(png);
+  if (depth == 16) {
+    // Pillow opens 16-bit PNGs as mode "I"/"I;16" and convert("L"/"RGB")
+    // CLAMPS values > 255 — not the same as stripping the high byte. Bail
+    // out so the PIL fallback keeps behavior identical across hosts.
+    png_destroy_read_struct(&png, &info, nullptr);
+    return nullptr;
+  }
   if (color == PNG_COLOR_TYPE_PALETTE) png_set_palette_to_rgb(png);
   if (color == PNG_COLOR_TYPE_GRAY && depth < 8)
     png_set_expand_gray_1_2_4_to_8(png);

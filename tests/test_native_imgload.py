@@ -72,6 +72,19 @@ def test_gray_batch_shape(files):
     assert out.shape == (1, 24, 24) and bool(ok[0])
 
 
+def test_16bit_png_rejected_for_pil_fallback(tmp_path):
+    """Pillow CLAMPS 16-bit values on convert("L"/"RGB"); stripping the high
+    byte would differ, so the native decoder must bail out on depth-16 PNGs
+    and leave them to the PIL path."""
+    a16 = (np.arange(20 * 20, dtype=np.uint32) * 163 % 65536).astype(np.uint16)
+    p = tmp_path / "g16.png"
+    Image.fromarray(a16.reshape(20, 20)).save(p)
+    with Image.open(p) as im:  # precondition: really wrote a 16-bit PNG
+        assert im.mode in ("I", "I;16")
+    assert decode_resize(p, 16, "L") is None
+    assert decode_resize(p, 16, "RGB") is None
+
+
 def test_corrupt_file_returns_none(tmp_path):
     p = tmp_path / "bad.jpg"
     p.write_bytes(b"\xff\xd8\xff\xe0 not a real jpeg body")
@@ -89,7 +102,9 @@ def test_dataset_paths_use_native_with_identical_output(files, monkeypatch):
     monkeypatch.setattr(imgload, "load_imgload", lambda: None)
     img_pil = dataset.load_image(files["photo.jpg"], 48)
     mask_pil = masks.load_mask(files["gray.png"], 48)
-    np.testing.assert_array_equal(img_native, img_pil)
+    # JPEG decode carries the same 1-LSB system-libjpeg skew tolerance as
+    # test_pil_parity (1 LSB of u8 = 2/255 after [-1,1] normalization).
+    np.testing.assert_allclose(img_native, img_pil, atol=2.01 / 255)
     np.testing.assert_array_equal(mask_native, mask_pil)
     assert img_native.dtype == np.float32
     assert img_native.min() >= -1.0 and img_native.max() <= 1.0
