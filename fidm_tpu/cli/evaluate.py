@@ -88,6 +88,10 @@ def parse_args(argv=None):
     p.add_argument("--dtype", default="bf16", choices=["bf16", "f32"],
                    help="compute dtype (the FP16-inference analogue of "
                         "test_quant.py:393-396; bf16 is TPU-native)")
+    p.add_argument("--program_cache", default=None,
+                   help="directory of AOT-serialized XLA programs "
+                        "(serving/aot.py): skip the sampling-graph compile "
+                        "on repeat runs; load only trusted dirs (pickle)")
     p.add_argument("--quick_test", action="store_true",
                    help="8 samples, 2 batches, 10 DDIM steps "
                         "(test_inpainting_better.py:865-889)")
@@ -252,6 +256,16 @@ def main(argv=None):
         q = quantize_params(pipe.variables["params"])
         pipe.variables = {"params": dequantize_params(q)}
         print("int8 weight-only quantization applied")
+
+    if args.program_cache:
+        from ..serving import aot
+
+        loaded = aot.load_programs(pipe, args.program_cache,
+                                   [args.batch_size])
+        written = aot.save_programs(pipe, args.program_cache,
+                                    [args.batch_size])
+        print(f"AOT program cache: {loaded} loaded, "
+              f"{written} compiled+saved")
 
     loader = create_inference_dataloader(
         args.data_dir, args.mask_dir, batch_size=args.batch_size,

@@ -25,6 +25,11 @@ def parse_args(argv=None):
     # (prediction-error amplification, docs/TUNING.md), and serving sees
     # arbitrary client masks, so the SDE variant is the safe default
     p.add_argument("--preset", default="dpm-25-sde")
+    p.add_argument("--program_cache", default=None,
+                   help="directory of AOT-serialized XLA programs: restart "
+                        "in seconds instead of recompiling the batch-shape "
+                        "ladder (written on first warmup; load only "
+                        "trusted dirs — pickle format)")
     p.add_argument("--image_size", type=int, default=256)
     p.add_argument("--schedule", default="quadratic")
     p.add_argument("--diffusion_steps", type=int, default=1000)
@@ -63,6 +68,7 @@ def main(argv=None):
         pipe, args.host, args.port, args.batch_size, args.max_wait_ms,
         batch_sizes=tuple(args.batch_sizes) if args.batch_sizes else None,
         base_seed=args.base_seed, warmup=True,
+        program_cache_dir=args.program_cache,
     )
     print(f"serving on http://{args.host}:{args.port} "
           f"(batch sizes {dispatcher.batch_sizes}, preset {args.preset})")

@@ -157,6 +157,9 @@ class InpaintingPipeline:
                 self.variables = jax.device_put(self.variables,
                                                 replicated(mesh))
         self._jitted = {}
+        # AOT-loaded compiled programs: (batch_shape, cfg) -> executable
+        # (see serving/aot.py; exact input shapes/dtypes, cond_fn-free)
+        self._aot = {}
 
     @classmethod
     def create(cls, config: Optional[PipelineConfig] = None,
@@ -180,6 +183,7 @@ class InpaintingPipeline:
             self.variables,
         )
         self._jitted.clear()
+        self._aot.clear()  # AOT programs are bound to exact param dtypes
         return self
 
     def inpaint(self, gt, mask, key, sampler: Optional[SamplerConfig] = None,
@@ -208,45 +212,79 @@ class InpaintingPipeline:
             guided = [k for k in self._jitted if k[2] is not None]
             if len(guided) >= 4:
                 del self._jitted[guided[0]]
+        if cond_fn is None:
+            aot = self._aot.get((tuple(gt.shape), cfg))
+            if aot is not None:
+                return aot(self.variables,
+                           jnp.asarray(gt, jnp.float32),
+                           jnp.asarray(mask, jnp.float32), key)
         if cache_key not in self._jitted:
-            t_scale = (
-                1000.0 / self.config.num_timesteps
-                if self.config.rescale_timesteps else None
-            )
-
-            def run(variables, gt, mask, key):
-                def scale_t(t):
-                    if t_scale is not None:
-                        return t.astype(jnp.float32) * t_scale
-                    return t
-
-                def apply_fn(x, t, mi, m):
-                    return self.model.apply(variables, x, scale_t(t), mi, m)
-
-                cache_apply = None
-                if cfg.encoder_cache_period > 1:
-                    cache_apply = (
-                        lambda x, t, mi, m: self.model.apply(
-                            variables, x, scale_t(t), mi, m, return_cache=True),
-                        lambda x, t, mi, m, cache: self.model.apply(
-                            variables, x, scale_t(t), mi, m, cache=cache),
-                    )
-
-                return inpaint_sample(apply_fn, self.sched, cfg,
-                                      gt=gt, mask=mask, key=key,
-                                      cache_apply=cache_apply,
-                                      cond_fn=cond_fn)
-
-            if self.mesh is not None:
-                from .parallel import batch_sharding, replicated
-
-                bs = batch_sharding(self.mesh)
-                self._jitted[cache_key] = jax.jit(
-                    run,
-                    in_shardings=(None, bs, bs, replicated(self.mesh)),
-                    out_shardings=bs,
-                )
-            else:
-                self._jitted[cache_key] = jax.jit(run)
+            self._jitted[cache_key] = self._make_jit(cfg, cond_fn)
         return self._jitted[cache_key](self.variables, jnp.asarray(gt),
                                        jnp.asarray(mask), key)
+
+    def _make_jit(self, cfg: SamplerConfig, cond_fn=None):
+        """The jitted sampling program for one SamplerConfig (+ optional
+        guidance closure); shape-polymorphic until traced."""
+        t_scale = (
+            1000.0 / self.config.num_timesteps
+            if self.config.rescale_timesteps else None
+        )
+
+        def run(variables, gt, mask, key):
+            def scale_t(t):
+                if t_scale is not None:
+                    return t.astype(jnp.float32) * t_scale
+                return t
+
+            def apply_fn(x, t, mi, m):
+                return self.model.apply(variables, x, scale_t(t), mi, m)
+
+            cache_apply = None
+            if cfg.encoder_cache_period > 1:
+                cache_apply = (
+                    lambda x, t, mi, m: self.model.apply(
+                        variables, x, scale_t(t), mi, m, return_cache=True),
+                    lambda x, t, mi, m, cache: self.model.apply(
+                        variables, x, scale_t(t), mi, m, cache=cache),
+                )
+
+            return inpaint_sample(apply_fn, self.sched, cfg,
+                                  gt=gt, mask=mask, key=key,
+                                  cache_apply=cache_apply,
+                                  cond_fn=cond_fn)
+
+        if self.mesh is not None:
+            from .parallel import batch_sharding, replicated
+
+            bs = batch_sharding(self.mesh)
+            return jax.jit(
+                run,
+                in_shardings=(None, bs, bs, replicated(self.mesh)),
+                out_shardings=bs,
+            )
+        return jax.jit(run)
+
+    def example_inputs(self, batch: int):
+        """abstract (gt, mask, key) specs for a batch-`batch` program."""
+        S = self.config.unet.image_size
+        return (
+            jax.ShapeDtypeStruct((batch, S, S, 3), jnp.float32),
+            jax.ShapeDtypeStruct((batch, S, S, 1), jnp.float32),
+            jax.eval_shape(lambda: jax.random.PRNGKey(0)),
+        )
+
+    def compile_batch(self, batch: int,
+                      sampler: Optional[SamplerConfig] = None):
+        """AOT-compile the sampling program for one batch size (no
+        execution) — feed to `serving.aot.save_programs` for persistence."""
+        cfg = sampler or self.config.sampler
+        gt, mask, key = self.example_inputs(batch)
+        return self._make_jit(cfg).lower(self.variables, gt, mask,
+                                         key).compile()
+
+    def install_program(self, batch: int, cfg: SamplerConfig, program):
+        """Register a (deserialized) compiled executable for exact-shape
+        dispatch; `inpaint` prefers it over the jit cache."""
+        S = self.config.unet.image_size
+        self._aot[((batch, S, S, 3), cfg)] = program

@@ -1,1 +1,4 @@
+from . import aot
 from .server import InpaintingServer, serve
+
+__all__ = ["InpaintingServer", "serve", "aot"]

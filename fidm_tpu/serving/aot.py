@@ -1,0 +1,133 @@
+"""Ahead-of-time program cache for the serving layer.
+
+The 256² sampling graph takes ~10-15 min of cold XLA compile on a fresh
+host, and the serving dispatcher warms a LADDER of batch shapes (1/2/4/8 —
+see server.py), multiplying that cost. This module serializes the compiled
+executables themselves (`jax.experimental.serialize_executable`) so a
+production host restarts in seconds: programs become deployable artifacts
+next to the checkpoint.
+
+No reference equivalent (the reference pays torch/CUDA warmup per process;
+its closest analogue is `torch.compile` in `test_quant.py:390-409`, which
+recompiles every run). TPU-native answer: XLA executables are bound to
+exact input shapes/dtypes, device kind, and jax version — each program file
+is keyed by a fingerprint over all of those plus the UNet/sampler configs,
+so a stale or mismatched cache entry is silently recompiled rather than
+mis-executed.
+
+Format: one pickle file per (batch, sampler) program. Only load cache
+directories you trust (pickle).
+"""
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import pickle
+from typing import Optional
+
+import jax
+
+__all__ = ["program_path", "save_programs", "load_programs"]
+
+_FORMAT_VERSION = 1
+
+
+def _fingerprint(pipeline, batch: int, cfg) -> str:
+    """Identity of one compiled program: anything that would change the
+    executable (or make it unsafe to run) must land in here."""
+    leaves = jax.tree_util.tree_flatten_with_path(pipeline.variables)[0]
+    var_sig = [
+        (jax.tree_util.keystr(path), str(x.shape), str(x.dtype))
+        for path, x in leaves
+    ]
+    payload = {
+        "format": _FORMAT_VERSION,
+        "jax": jax.__version__,
+        "backend": jax.default_backend(),
+        "device_kind": jax.devices()[0].device_kind,
+        "n_devices": jax.device_count(),
+        "unet": repr(pipeline.config.unet),
+        "schedule": [pipeline.config.schedule, pipeline.config.num_timesteps],
+        "rescale_timesteps": pipeline.config.rescale_timesteps,
+        "sampler": repr(cfg),
+        "batch": batch,
+        "variables": var_sig,
+    }
+    blob = json.dumps(payload, sort_keys=True).encode()
+    return hashlib.sha256(blob).hexdigest()[:20]
+
+
+def program_path(cache_dir: str, pipeline, batch: int,
+                 sampler=None) -> str:
+    cfg = sampler or pipeline.config.sampler
+    return os.path.join(
+        cache_dir, f"prog_b{batch}_{_fingerprint(pipeline, batch, cfg)}.aot"
+    )
+
+
+def save_programs(pipeline, cache_dir: str, batch_sizes,
+                  sampler=None, overwrite: bool = False) -> int:
+    """Compile (if needed) and persist the sampling program for each batch
+    size. Returns the number of programs written. Single-host pipelines
+    only (mesh-sharded executables are not portable artifacts)."""
+    if pipeline.mesh is not None:
+        raise ValueError("AOT program cache supports single-host pipelines "
+                         "only (mesh is not None)")
+    from jax.experimental import serialize_executable as se
+
+    os.makedirs(cache_dir, exist_ok=True)
+    cfg = sampler or pipeline.config.sampler
+    written = 0
+    for batch in batch_sizes:
+        path = program_path(cache_dir, pipeline, batch, cfg)
+        if os.path.exists(path) and not overwrite:
+            continue
+        compiled = pipeline.compile_batch(batch, cfg)
+        pipeline.install_program(batch, cfg, compiled)  # reuse, don't re-jit
+        blob, in_tree, out_tree = se.serialize(compiled)
+        tmp = path + ".tmp"
+        with open(tmp, "wb") as f:
+            # num_devices: a meshless jit compiles for device 0 only; the
+            # loader must bind the executable to exactly that many devices
+            # (deserialize_and_load defaults to ALL local devices)
+            pickle.dump({"format": _FORMAT_VERSION, "num_devices": 1,
+                         "blob": blob,
+                         "in_tree": in_tree, "out_tree": out_tree}, f)
+        os.replace(tmp, path)  # atomic: readers never see a partial file
+        written += 1
+    return written
+
+
+def load_programs(pipeline, cache_dir: str, batch_sizes,
+                  sampler=None) -> int:
+    """Install every matching cached program into the pipeline (exact-shape
+    dispatch ahead of the jit cache). Missing or fingerprint-mismatched
+    entries are skipped — the caller's normal warmup covers them. Returns
+    the number of programs loaded."""
+    if pipeline.mesh is not None:
+        raise ValueError("AOT program cache supports single-host pipelines "
+                         "only (mesh is not None)")
+    from jax.experimental import serialize_executable as se
+
+    cfg = sampler or pipeline.config.sampler
+    loaded = 0
+    for batch in batch_sizes:
+        path = program_path(cache_dir, pipeline, batch, cfg)
+        if not os.path.exists(path):
+            continue
+        try:
+            with open(path, "rb") as f:
+                data = pickle.load(f)
+            if data.get("format") != _FORMAT_VERSION:
+                continue
+            devs = jax.devices()[:data.get("num_devices", 1)]
+            program = se.deserialize_and_load(data["blob"], data["in_tree"],
+                                              data["out_tree"],
+                                              execution_devices=devs)
+        except Exception as e:  # corrupt/stale entry: recompile, don't die
+            print(f"AOT program cache: skipping unreadable {path}: {e}")
+            continue
+        pipeline.install_program(batch, cfg, program)
+        loaded += 1
+    return loaded

@@ -58,8 +58,10 @@ class InpaintingServer:
     def __init__(self, pipeline, batch_size: int = 8,
                  max_wait_ms: float = 20.0,
                  batch_sizes: Optional[tuple] = None,
-                 base_seed: int = 0):
+                 base_seed: int = 0,
+                 program_cache_dir: Optional[str] = None):
         self.pipeline = pipeline
+        self.program_cache_dir = program_cache_dir
         self.batch_size = batch_size
         self.max_wait_ms = max_wait_ms
         # compiled-shape ladder: smallest size >= queue depth is used, so a
@@ -101,7 +103,22 @@ class InpaintingServer:
 
     def warmup(self):
         """Compile every batch-shape program up front (blocking) so no
-        client request pays a first-compile latency."""
+        client request pays a first-compile latency. With
+        `program_cache_dir`, cached AOT executables are loaded instead of
+        compiled, and anything newly compiled is persisted for the next
+        restart (see serving/aot.py)."""
+        if self.program_cache_dir is not None:
+            from . import aot
+
+            n = aot.load_programs(self.pipeline, self.program_cache_dir,
+                                  self.batch_sizes)
+            if n:
+                print(f"AOT program cache: loaded {n}/"
+                      f"{len(self.batch_sizes)} programs")
+            # compile + persist + install whatever wasn't cached, so the
+            # execution loop below never jit-compiles a second copy
+            aot.save_programs(self.pipeline, self.program_cache_dir,
+                              self.batch_sizes)
         S = self.pipeline.config.unet.image_size
         img = np.zeros((S, S, 3), np.float32)
         msk = np.ones((S, S, 1), np.float32)
@@ -224,12 +241,13 @@ def _make_handler(server: InpaintingServer):
 def serve(pipeline, host: str = "127.0.0.1", port: int = 8571,
           batch_size: int = 8, max_wait_ms: float = 20.0,
           batch_sizes: Optional[tuple] = None, base_seed: int = 0,
-          warmup: bool = False):
+          warmup: bool = False, program_cache_dir: Optional[str] = None):
     """Start the HTTP server; returns (httpd, dispatcher) — call
     httpd.serve_forever() (or run it in a thread for tests)."""
     dispatcher = InpaintingServer(pipeline, batch_size, max_wait_ms,
                                   batch_sizes=batch_sizes,
-                                  base_seed=base_seed)
+                                  base_seed=base_seed,
+                                  program_cache_dir=program_cache_dir)
     if warmup:
         dispatcher.warmup()
     httpd = ThreadingHTTPServer((host, port), _make_handler(dispatcher))

@@ -76,6 +76,26 @@ def test_evaluate_cli_quick_test(data_tree, tmp_path):
                                           abs=1e-9)
 
 
+def test_evaluate_cli_program_cache_reproduces(data_tree, tmp_path):
+    """--program_cache: first run compiles+saves the sampling program,
+    second run loads it and reproduces the metrics exactly."""
+    from fidm_tpu.cli.evaluate import main
+
+    img_dir, mask_dir = data_tree
+    cache = tmp_path / "programs"
+    common = [
+        "--data_dir", img_dir, "--mask_dir", mask_dir, "--quick_test",
+        "--diffusion_steps", "50", "--ddim_timesteps", "5",
+        "--no_save_images", "--program_cache", str(cache), *TINY_MODEL,
+    ]
+    r1 = main(["--output_dir", str(tmp_path / "r1"), *common])
+    files = list(cache.glob("prog_b*.aot"))
+    assert len(files) == 1
+    r2 = main(["--output_dir", str(tmp_path / "r2"), *common])
+    assert r2["ssim_mean"] == pytest.approx(r1["ssim_mean"], abs=0)
+    assert r2["psnr_mean"] == pytest.approx(r1["psnr_mean"], abs=0)
+
+
 def test_train_cli_one_epoch(data_tree, tmp_path):
     from fidm_tpu.cli.train import main
 
@@ -409,3 +429,45 @@ def test_distill_cli_ladder_then_evaluate(data_tree, tmp_path):
         "--no_save_images", *TINY_MODEL,
     ])
     assert np.isfinite(results["ssim_mean"])
+
+
+def test_distill_cli_rejects_grid_that_does_not_fit_chain(data_tree, tmp_path):
+    """teacher_steps > diffusion_steps-1 duplicates rounded boundaries, which
+    would explode the clamped distill target and emit a non-descending
+    grid.json -> must be rejected up front."""
+    from fidm_tpu.cli.distill import main as distill_main
+
+    img_dir, mask_dir = data_tree
+    with pytest.raises(SystemExit, match="does not fit"):
+        distill_main([
+            "--train_dir", img_dir, "--mask_dir", mask_dir,
+            "--checkpoint", str(tmp_path / "nonexistent"), "--out",
+            str(tmp_path / "d"), "--teacher_steps", "64", "--final_steps",
+            "4", "--diffusion_steps", "50", *TINY_MODEL,
+        ])
+
+
+def test_distill_cli_procedural_masks_when_mask_dir_omitted(data_tree,
+                                                            tmp_path):
+    """Omitting --mask_dir trains on procedural masks, as its help promises
+    (mask_mode silently switches from the 'serial' default)."""
+    from fidm_tpu.cli.distill import main as distill_main
+    from fidm_tpu.cli.train import main as train_main
+
+    img_dir, _ = data_tree
+    ckpt_dir = str(tmp_path / "teacher")
+    train_main([
+        "--train_dir", img_dir, "--val_dir", img_dir,
+        "--checkpoint_dir", ckpt_dir, "--batch_size", "2",
+        "--num_epochs", "1", "--diffusion_steps", "50",
+        "--mask_mode", "procedural", *TINY_MODEL,
+    ])
+    report = distill_main([
+        "--train_dir", img_dir, "--checkpoint", ckpt_dir,
+        "--out", str(tmp_path / "distilled"),
+        "--teacher_steps", "2", "--final_steps", "1",
+        "--steps_per_round", "1", "--batch_size", "2",
+        "--diffusion_steps", "50", *TINY_MODEL,
+    ])
+    assert [r["student_steps"] for r in report["rounds"]] == [1]
+    assert np.isfinite(report["rounds"][0]["final_loss"])

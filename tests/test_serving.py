@@ -161,6 +161,72 @@ def test_warmup_compiles_every_shape(pipeline):
         server.close()
 
 
+def test_aot_program_cache_round_trip(tmp_path):
+    """Serialized executables reload into a fresh pipeline and reproduce
+    the jit path bit-for-bit, with zero jit compiles on the reload side."""
+    from fidm_tpu.serving import aot
+
+    pipe1 = InpaintingPipeline.create(TINY)
+    im, m = _sample_input(11)
+    gt, mask = im[None], m[None]
+    key = jax.random.PRNGKey(3)
+    ref = np.asarray(pipe1.inpaint(gt, mask, key))
+    assert aot.save_programs(pipe1, str(tmp_path), [1]) == 1
+    # second save is a no-op (fingerprint file exists)
+    assert aot.save_programs(pipe1, str(tmp_path), [1]) == 0
+
+    pipe2 = InpaintingPipeline(pipe1.model, pipe1.variables, pipe1.sched,
+                               TINY)
+    assert aot.load_programs(pipe2, str(tmp_path), [1]) == 1
+    out = np.asarray(pipe2.inpaint(gt, mask, key))
+    assert not pipe2._jitted  # dispatched to the AOT program, no jit
+    np.testing.assert_array_equal(out, ref)
+
+
+def test_aot_cache_fingerprint_mismatch_is_skipped(tmp_path):
+    """A cached program never loads for a different sampler config or a
+    different params dtype — it would mis-execute; warmup recompiles."""
+    from fidm_tpu.serving import aot
+
+    pipe1 = InpaintingPipeline.create(TINY)
+    aot.save_programs(pipe1, str(tmp_path), [1])
+    other = SamplerConfig(method="ddim", num_steps=7, eta=0.0)
+    assert aot.load_programs(pipe1, str(tmp_path), [1], sampler=other) == 0
+    pipe_bf16 = InpaintingPipeline.create(TINY).cast_params(jnp.bfloat16)
+    assert aot.load_programs(pipe_bf16, str(tmp_path), [1]) == 0
+    # corrupt entry: skipped with a warning, not fatal
+    path = aot.program_path(str(tmp_path), pipe1, 1)
+    with open(path, "wb") as f:
+        f.write(b"not a pickle")
+    assert aot.load_programs(pipe1, str(tmp_path), [1]) == 0
+
+
+def test_server_restart_rides_program_cache(tmp_path):
+    """First warmup writes the ladder's programs; a fresh server over the
+    same params loads them all and never jit-compiles."""
+    pipe1 = InpaintingPipeline.create(TINY)
+    s1 = InpaintingServer(pipe1, batch_size=2, max_wait_ms=5,
+                          program_cache_dir=str(tmp_path))
+    try:
+        s1.warmup()
+    finally:
+        s1.close()
+    assert len(list(tmp_path.glob("prog_b*.aot"))) == 2
+    assert not pipe1._jitted  # warmup rode the installed compiled programs
+
+    pipe2 = InpaintingPipeline(pipe1.model, pipe1.variables, pipe1.sched,
+                               TINY)
+    s2 = InpaintingServer(pipe2, batch_size=2, max_wait_ms=5,
+                          program_cache_dir=str(tmp_path))
+    try:
+        s2.warmup()
+        assert not pipe2._jitted
+        out = s2.submit(*_sample_input(2), seed=3).result(timeout=300)
+        assert out.shape == (S, S, 3)
+    finally:
+        s2.close()
+
+
 def test_explicit_request_seed_changes_batch_result(pipeline):
     """Regression: every request's seed folds into the batch key — a
     non-first request's explicit seed must affect the output."""
