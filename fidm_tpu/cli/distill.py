@@ -95,6 +95,9 @@ def student_grid(num_timesteps: int, steps: int):
 
 
 def main(argv=None):
+    from ..utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     from ..data import DataLoader, InpaintingDataset
     from ..diffusion import DiffusionSchedule, ModelMeanType
     from ..distill import make_distill_step

@@ -123,6 +123,9 @@ def parse_args(argv=None):
 
 
 def main(argv=None):
+    from ..utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     import dataclasses
 
     from ..data import create_inference_dataloader

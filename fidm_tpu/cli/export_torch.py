@@ -54,6 +54,9 @@ def _load_params(args, cfg):
 
 
 def main(argv=None):
+    from ..utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     import jax.numpy as jnp
 
     from ..models import ffhq256_config

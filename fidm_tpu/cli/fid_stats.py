@@ -61,6 +61,9 @@ def compute_stats_for_dir(data_dir: str, extractor, batch_size: int = 32,
 
 
 def main(argv=None):
+    from ..utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     import jax
 
     from ..metrics import InceptionFeatureExtractor

@@ -40,6 +40,9 @@ def parse_args(argv=None):
 
 
 def main(argv=None):
+    from ..utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     from ..diffusion import DiffusionSchedule
     from ..models import UNet, ffhq256_config
     from ..sampling import SamplerConfig, sample

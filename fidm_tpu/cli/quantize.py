@@ -27,6 +27,9 @@ def parse_args(argv=None):
 
 
 def main(argv=None):
+    from ..utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     from ..models import ffhq256_config
     from ..models.torch_import import load_torch_checkpoint
     from ..quant import quantize_params, quantized_size_bytes

@@ -44,6 +44,9 @@ def parse_args(argv=None):
 
 
 def main(argv=None):
+    from ..utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     from ..models import ffhq256_config
     from ..pipeline import SAMPLER_PRESETS, InpaintingPipeline, PipelineConfig
     from ..serving import serve

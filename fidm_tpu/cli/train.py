@@ -91,6 +91,9 @@ def parse_args(argv=None):
 
 
 def main(argv=None):
+    from ..utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     from ..data import create_inpainting_dataloaders
     from ..diffusion import DiffusionSchedule
     from ..models import InpaintingUNet, ffhq256_config

@@ -35,6 +35,9 @@ def parse_args(argv=None):
 
 
 def main(argv=None):
+    from ..utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     from ..data.dataset import load_image
     from ..diffusion import DiffusionSchedule, q_sample
     from ..utils import save_comparison_grid, to_uint8

@@ -76,6 +76,29 @@ def test_evaluate_cli_quick_test(data_tree, tmp_path):
                                           abs=1e-9)
 
 
+def test_enable_compilation_cache_env_contract(monkeypatch, tmp_path):
+    """Every CLI turns on the persistent XLA compile cache; the helper
+    honors JAX_COMPILATION_CACHE_DIR and the FIDM_NO_COMPILATION_CACHE
+    opt-out."""
+    import jax
+
+    from fidm_tpu.utils.cache import enable_compilation_cache
+
+    old = jax.config.jax_compilation_cache_dir
+    try:
+        monkeypatch.setenv("FIDM_NO_COMPILATION_CACHE", "1")
+        assert enable_compilation_cache() is None
+        monkeypatch.delenv("FIDM_NO_COMPILATION_CACHE")
+        monkeypatch.setenv("JAX_COMPILATION_CACHE_DIR", str(tmp_path / "x"))
+        assert enable_compilation_cache() == str(tmp_path / "x")
+        assert jax.config.jax_compilation_cache_dir == str(tmp_path / "x")
+        monkeypatch.delenv("JAX_COMPILATION_CACHE_DIR")
+        assert enable_compilation_cache(str(tmp_path / "y")) == str(
+            tmp_path / "y")
+    finally:
+        jax.config.update("jax_compilation_cache_dir", old)
+
+
 def test_evaluate_cli_program_cache_reproduces(data_tree, tmp_path):
     """--program_cache: first run compiles+saves the sampling program,
     second run loads it and reproduces the metrics exactly."""
