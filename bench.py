@@ -9,7 +9,7 @@ vs_baseline is the speedup over the reference's DDIM-100 time/sample of
 
 Env overrides: FIDM_BENCH_BATCH (default 16), FIDM_BENCH_REPEATS (default 3),
 FIDM_BENCH_STEPS (default 100), FIDM_BENCH_METHOD (ddim | ddpm | dpm++2m |
-dpm++2m-sde | repaint), FIDM_BENCH_ENCODER_CACHE (encoder-reuse period;
+dpm++2m-sde | dpm++3m | repaint), FIDM_BENCH_ENCODER_CACHE (encoder-reuse period;
 1 = exact sampling), FIDM_BENCH_JUMP_LEN / FIDM_BENCH_JUMP_N (repaint
 time-travel parameters).
 """

@@ -34,7 +34,7 @@ def main():
     p.add_argument("--steps", nargs="+", type=int, default=[30, 50, 100])
     p.add_argument("--etas", nargs="+", type=float, default=[0.0, 0.9])
     p.add_argument("--methods", nargs="+", default=["ddim"],
-                   choices=["ddim", "ddpm", "dpm++2m", "dpm++2m-sde"])
+                   choices=["ddim", "ddpm", "dpm++2m", "dpm++2m-sde", "dpm++3m"])
     p.add_argument("--time_spacing", default="uniform",
                    choices=["uniform", "trailing", "lambda"])
     p.add_argument("--image_size", type=int, default=64)

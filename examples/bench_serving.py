@@ -26,7 +26,7 @@ def main():
     p.add_argument("--requests", type=int, default=32)
     p.add_argument("--concurrency", type=int, default=16)
     p.add_argument("--steps", type=int, default=100)
-    p.add_argument("--method", default="ddim", choices=["ddim", "ddpm", "dpm++2m", "dpm++2m-sde"])
+    p.add_argument("--method", default="ddim", choices=["ddim", "ddpm", "dpm++2m", "dpm++2m-sde", "dpm++3m"])
     p.add_argument("--batch_size", type=int, default=8)
     p.add_argument("--port", type=int, default=8571)
     args = p.parse_args()

@@ -37,7 +37,8 @@ def parse_args(argv=None):
                    help="ddpm-1000 | ddpm-250 | ddpm-100 | ddim-30 | ddim-50 "
                         "| ddim-50-eta0.75 | ddim-100 | ddim-100-det | "
                         "ddim-20-fast | dpm-25 | dpm-20 | dpm-20-fast | "
-                        "dpm-25-sde | repaint-250 | repaint-100-light")
+                        "dpm-25-sde | dpm3-20 | dpm3-12 | repaint-250 | "
+                        "repaint-100-light")
     p.add_argument("--time_spacing", default=None,
                    choices=["uniform", "trailing", "lambda", "karras"],
                    help="how steps are placed on the chain (default: preset)")
@@ -151,7 +152,7 @@ def main(argv=None):
 
     sampler = SAMPLER_PRESETS[args.preset]
     if args.ddim_timesteps is not None and sampler.method in (
-            "ddim", "dpm++2m", "dpm++2m-sde", "repaint"):
+            "ddim", "dpm++2m", "dpm++2m-sde", "dpm++3m", "repaint"):
         sampler = dataclasses.replace(sampler, num_steps=args.ddim_timesteps)
     if args.jump_length is not None:
         sampler = dataclasses.replace(sampler, jump_length=args.jump_length)

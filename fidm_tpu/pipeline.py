@@ -63,6 +63,11 @@ SAMPLER_PRESETS = {
                                 injection=True),
     "dpm-20-fast": SamplerConfig(method="dpm++2m", num_steps=20,
                                  injection=True, encoder_cache_period=2),
+    # third-order multistep (diffusers' solver_order=3): tighter ODE
+    # tracking at very few steps for smooth well-trained models; order
+    # warmup 1->2->3 and a first-order final step (sampler._dpm3m_tables)
+    "dpm3-20": SamplerConfig(method="dpm++3m", num_steps=20, injection=True),
+    "dpm3-12": SamplerConfig(method="dpm++3m", num_steps=12, injection=True),
     # RePaint time-travel resampling (arXiv:2201.09865): the reference's
     # injection IS RePaint's conditioning step; these presets add the
     # resampling loop it lacks, harmonizing hole content with the known

@@ -47,7 +47,7 @@ __all__ = ["SamplerConfig", "inpaint_sample", "sample", "host_alphas_cumprod",
 
 @dataclasses.dataclass(frozen=True)
 class SamplerConfig:
-    method: str = "ddim"       # "ddim" | "ddpm" | "dpm++2m" | "dpm++2m-sde"
+    method: str = "ddim"   # ddim | ddpm | dpm++2m | dpm++2m-sde | dpm++3m
     num_steps: Optional[int] = 100       # DDIM subset size; None = all T
     # explicit descending timestep grid (overrides num_steps) — used e.g.
     # to sample progressive-distillation students on their training grid
@@ -202,6 +202,66 @@ def _dpm_tables(sched: DiffusionSchedule, cfg: SamplerConfig):
         base["sde_noise"] = sigma_p * np.sqrt(1.0 - exp_mh**2)
     # DDIM-only entries the dpm update never reads — keep them out of the
     # device xs so the table contract is explicit
+    for unused in ("dir_coef", "sigma", "noise_gate", "sqrt_a_prev"):
+        del base[unused]
+    return base
+
+
+def _dpm3m_tables(sched: DiffusionSchedule, cfg: SamplerConfig):
+    """Per-step tables for DPM-Solver++(3M) — third-order multistep in
+    data-prediction form (arXiv:2211.01095; the update matches diffusers'
+    `multistep_dpm_solver_third_order_update`, algorithm_type
+    "dpmsolver++", solver_order=3).
+
+    With lambda = log(alpha/sigma), h the current step and h0/h1 the two
+    previous steps (denoising direction), r0 = h0/h, r1 = h1/h and m0/m1/m2
+    the last three x0 predictions:
+        D1_0 = (m0 - m1)/r0,  D1_1 = (m1 - m2)/r1
+        D1   = D1_0 + r0/(r0+r1) * (D1_0 - D1_1)
+        D2   = (D1_0 - D1_1) / (r0 + r1)
+        x <- (sigma_p/sigma_t) x + alpha_p(1 - e^{-h}) m0
+             + alpha_p((e^{-h}-1)/h + 1) D1
+             - alpha_p((e^{-h}-1+h)/h^2 - 1/2) D2
+    Order warmup mirrors diffusers: step 0 is first-order, step 1 runs the
+    2M update (folded in here as c2 = phi1/2, D1 = D1_0), and the final
+    step to alpha_bar = 1 (h = inf) collapses to first order (x = m0).
+    Deterministic; `eta` is ignored. Injection tables are shared with the
+    DDIM loop (same levels). Third order pays off for smooth (well-trained,
+    unguided) models at <= ~15 steps; prefer 2M/SDE otherwise — same
+    caveats as docs/TUNING.md §2b.
+    """
+    base = _ddim_tables(sched, dataclasses.replace(cfg, eta=0.0))
+    a_t = base["sqrt_a_t"].astype(np.float64) ** 2
+    a_prev = base["sqrt_a_prev"].astype(np.float64) ** 2
+    alpha_t, sigma_t = np.sqrt(a_t), np.sqrt(1.0 - a_t)
+    alpha_p, sigma_p = np.sqrt(a_prev), np.sqrt(1.0 - a_prev)
+    with np.errstate(divide="ignore"):
+        lam_t = 0.5 * (np.log(a_t) - np.log1p(-a_t))
+        lam_p = 0.5 * (np.log(a_prev) - np.log1p(-a_prev))  # +inf at a_prev=1
+    h = lam_p - lam_t
+    h0 = np.concatenate([[np.inf], h[:-1]])
+    h1 = np.concatenate([[np.inf], h0[:-1]])
+    step_i = np.arange(len(h))
+    finite = np.isfinite(h)
+    ord3 = finite & (step_i >= 2) & np.isfinite(h0) & np.isfinite(h1)
+    ord2 = finite & (step_i >= 1) & np.isfinite(h0) & ~ord3
+    h_safe = np.where(finite, h, 1.0)
+    exp_mh = np.where(finite, np.exp(-h_safe), 0.0)
+    phi1 = alpha_p - sigma_p * alpha_t / sigma_t  # alpha_p(1-e^{-h}), finite
+    base["coef_x"] = sigma_p / sigma_t
+    base["phi1"] = phi1
+    base["c2"] = np.where(
+        ord3, alpha_p * ((exp_mh - 1.0) / h_safe + 1.0),
+        np.where(ord2, 0.5 * phi1, 0.0),
+    )
+    base["c3"] = np.where(
+        ord3, alpha_p * ((exp_mh - 1.0 + h_safe) / h_safe**2 - 0.5), 0.0
+    )
+    with np.errstate(invalid="ignore"):
+        base["inv_r0"] = np.where(ord2 | ord3, h_safe / h0, 0.0)  # 1/r0
+        base["inv_r1"] = np.where(ord3, h_safe / h1, 0.0)         # 1/r1
+        base["w"] = np.where(ord3, h0 / (h0 + h1), 0.0)     # r0/(r0+r1)
+        base["inv_r01"] = np.where(ord3, h_safe / (h0 + h1), 0.0)
     for unused in ("dir_coef", "sigma", "noise_gate", "sqrt_a_prev"):
         del base[unused]
     return base
@@ -488,7 +548,8 @@ def inpaint_sample(
       cfg.final_blend (the property test anchors this).
     """
     B = gt.shape[0]
-    if cond_fn is not None and cfg.method in ("dpm++2m", "dpm++2m-sde"):
+    if cond_fn is not None and cfg.method in ("dpm++2m", "dpm++2m-sde",
+                                          "dpm++3m"):
         raise ValueError(
             "classifier guidance (cond_fn) is defined for ddim/ddpm/repaint; "
             "the DPM-Solver++ update has no reference-guided form")
@@ -593,6 +654,26 @@ def inpaint_sample(
                 x_new = x_new + s["sde_noise"] * noise
             return x_new, pred_x0
 
+    elif cfg.method == "dpm++3m":
+        xs = _to_device_xs(_dpm3m_tables(sched, cfg))
+        # carry the last two x0 predictions; zeros are never consumed
+        # (inv_r0/inv_r1 gate them to 0 during the order warmup)
+        aux0 = (jnp.zeros_like(x), jnp.zeros_like(x))
+
+        def update(x, aux, s, out):
+            m1, m2 = aux
+            raw = out[..., :3]
+            pred_x0, _ = _x0_eps_from_raw(raw, x, s, cfg)
+            if cfg.clip_denoised:
+                pred_x0 = jnp.clip(pred_x0, -1.0, 1.0)
+            d1_0 = s["inv_r0"] * (pred_x0 - m1)
+            d1_1 = s["inv_r1"] * (m1 - m2)
+            d1 = d1_0 + s["w"] * (d1_0 - d1_1)
+            d2 = s["inv_r01"] * (d1_0 - d1_1)
+            x_new = (s["coef_x"] * x + s["phi1"] * pred_x0
+                     + s["c2"] * d1 - s["c3"] * d2)
+            return x_new, (pred_x0, m1)
+
     else:
         raise ValueError(f"unknown method: {cfg.method}")
 
@@ -675,7 +756,8 @@ def sample(
     semantics (`gaussian_diffusion.py:326-388`; consumed by `p_sample`/
     `ddim_sample` at :357-485) for methods ddim/ddpm/repaint.
     """
-    if cond_fn is not None and cfg.method in ("dpm++2m", "dpm++2m-sde"):
+    if cond_fn is not None and cfg.method in ("dpm++2m", "dpm++2m-sde",
+                                          "dpm++3m"):
         raise ValueError(
             "classifier guidance (cond_fn) is defined for ddim/ddpm/repaint; "
             "the DPM-Solver++ update has no reference-guided form")
@@ -765,6 +847,24 @@ def sample(
                 )
                 x_new = x_new + s["sde_noise"] * noise
             return x_new, pred_x0
+
+    elif cfg.method == "dpm++3m":
+        xs = _to_device_xs(_dpm3m_tables(sched, cfg))
+        aux0 = (jnp.zeros_like(x), jnp.zeros_like(x))
+
+        def update(x, aux, s, out):
+            m1, m2 = aux
+            raw, _ = gd.split_model_output(out, cfg.var_type)
+            pred_x0, _ = _x0_eps_from_raw(raw, x, s, cfg)
+            if cfg.clip_denoised:
+                pred_x0 = jnp.clip(pred_x0, -1.0, 1.0)
+            d1_0 = s["inv_r0"] * (pred_x0 - m1)
+            d1_1 = s["inv_r1"] * (m1 - m2)
+            d1 = d1_0 + s["w"] * (d1_0 - d1_1)
+            d2 = s["inv_r01"] * (d1_0 - d1_1)
+            x_new = (s["coef_x"] * x + s["phi1"] * pred_x0
+                     + s["c2"] * d1 - s["c3"] * d2)
+            return x_new, (pred_x0, m1)
 
     else:
         raise ValueError(f"unknown method: {cfg.method}")

@@ -287,3 +287,176 @@ def test_dpm2m_sde_unconditional_runs():
     cfg = SamplerConfig(method="dpm++2m-sde", num_steps=6, injection=False)
     out = sample(apply_fn, SCHED, cfg, shape=SHAPE, key=jax.random.PRNGKey(0))
     assert out.shape == SHAPE and np.all(np.isfinite(np.asarray(out)))
+
+
+def _numpy_dpm3m_oracle(x_init, eps_fn, K, clip=True):
+    """Float64 DPM-Solver++(3M) in data-prediction form (arXiv:2211.01095;
+    diffusers' multistep_dpm_solver_third_order_update), with the same
+    order warmup as the sampler: step 0 first-order, step 1 the 2M update,
+    final step (h = inf) first-order."""
+    acp = _acp64()
+    seq = ddim_timestep_sequence(T, K)
+    x = np.asarray(x_init, np.float64)
+    m1 = m2 = None
+    h0 = h1 = None
+    for i, t in enumerate(seq):
+        a_t = acp[t]
+        a_prev = acp[seq[i + 1]] if i < len(seq) - 1 else 1.0
+        alpha_t, sigma_t = np.sqrt(a_t), np.sqrt(1 - a_t)
+        alpha_p, sigma_p = np.sqrt(a_prev), np.sqrt(1 - a_prev)
+        lam_t = np.log(alpha_t / sigma_t)
+        lam_p = np.log(alpha_p / sigma_p) if a_prev < 1.0 else np.inf
+        h = lam_p - lam_t
+        eps = eps_fn(x, t)
+        m0 = (x - sigma_t * eps) / alpha_t
+        if clip:
+            m0 = np.clip(m0, -1, 1)
+        if m1 is None or not np.isfinite(h):
+            x = (sigma_p / sigma_t) * x + alpha_p * (1 - np.exp(-h)) * m0 \
+                if np.isfinite(h) else m0
+        elif m2 is None:
+            c = h / (2 * h0)
+            d = (1 + c) * m0 - c * m1
+            x = (sigma_p / sigma_t) * x + alpha_p * (1 - np.exp(-h)) * d
+        else:
+            r0, r1 = h0 / h, h1 / h
+            d1_0 = (m0 - m1) / r0
+            d1_1 = (m1 - m2) / r1
+            d1 = d1_0 + (r0 / (r0 + r1)) * (d1_0 - d1_1)
+            d2 = (d1_0 - d1_1) / (r0 + r1)
+            x = ((sigma_p / sigma_t) * x
+                 - alpha_p * (np.exp(-h) - 1.0) * m0
+                 + alpha_p * ((np.exp(-h) - 1.0) / h + 1.0) * d1
+                 - alpha_p * ((np.exp(-h) - 1.0 + h) / h**2 - 0.5) * d2)
+        m2, m1 = m1, m0
+        h1, h0 = h0, h
+    return x
+
+
+def test_dpm3m_matches_numpy_oracle():
+    x_init = jax.random.normal(jax.random.PRNGKey(5), SHAPE)
+    cfg = SamplerConfig(method="dpm++3m", num_steps=10, injection=False,
+                        final_blend=False)
+    out = inpaint_sample(_eps_apply_fn, SCHED, cfg,
+                         gt=jnp.zeros(SHAPE), mask=jnp.ones(SHAPE[:-1] + (1,)),
+                         key=jax.random.PRNGKey(1), x_init=x_init)
+    oracle = _numpy_dpm3m_oracle(np.asarray(x_init), _eps_fn64, 10)
+    np.testing.assert_allclose(np.asarray(out), oracle, atol=2e-4)
+
+
+def test_dpm3m_more_accurate_than_2m_at_same_steps():
+    """Third order tracks the fine-grid ODE better than second order at
+    equal NFE on a smooth model — the reason to ship it."""
+    x_init = np.random.default_rng(7).standard_normal(SHAPE).astype(np.float32)
+    acp = _acp64()
+    x = x_init.astype(np.float64)
+    for t in np.arange(T)[::-1]:
+        a_t = acp[t]
+        a_prev = acp[t - 1] if t > 0 else 1.0
+        eps = _eps_fn64(x, t)
+        x0 = (x - np.sqrt(1 - a_t) * eps) / np.sqrt(a_t)
+        x = np.sqrt(a_prev) * x0 + np.sqrt(1 - a_prev) * eps
+    truth = x
+
+    def run(method, K, spacing):
+        cfg = SamplerConfig(method=method, num_steps=K, eta=0.0,
+                            injection=False, final_blend=False,
+                            clip_denoised=False, time_spacing=spacing)
+        out = inpaint_sample(_eps_apply_fn, SCHED, cfg,
+                             gt=jnp.zeros(SHAPE),
+                             mask=jnp.ones(SHAPE[:-1] + (1,)),
+                             key=jax.random.PRNGKey(1),
+                             x_init=jnp.asarray(x_init))
+        return float(np.mean((np.asarray(out, np.float64) - truth) ** 2))
+
+    # measured landscape (sweep in this test's setup): 3m < 2m at every
+    # (K, spacing) in {6,8,10,15}x{uniform,lambda} EXCEPT uniform-10; the
+    # win is largest on the lambda spacing the DPM error bounds assume
+    # (lambda-10: 0.025 vs 52). Assert the representative points.
+    for K in (8, 10):
+        err_2m = run("dpm++2m", K, "lambda")
+        err_3m = run("dpm++3m", K, "lambda")
+        assert err_3m < err_2m, (K, err_3m, err_2m)
+    assert run("dpm++3m", 6, "uniform") < run("dpm++2m", 6, "uniform")
+
+
+def test_dpm3m_perfect_model_recovers_x0():
+    x0 = jnp.clip(jax.random.normal(jax.random.PRNGKey(0), SHAPE) * 0.5, -1, 1)
+    acp = jnp.asarray(_acp64(), jnp.float32)
+
+    def apply_fn(x, t, masked_image, mask):
+        a = acp[t][:, None, None, None]
+        eps = (x - jnp.sqrt(a) * x0) / jnp.sqrt(1 - a)
+        return jnp.concatenate([eps, jnp.zeros_like(eps)], axis=-1)
+
+    cfg = SamplerConfig(method="dpm++3m", num_steps=12, injection=False,
+                        final_blend=False)
+    out = inpaint_sample(apply_fn, SCHED, cfg, gt=x0,
+                         mask=jnp.ones(SHAPE[:-1] + (1,)),
+                         key=jax.random.PRNGKey(1))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(x0), atol=5e-3)
+
+
+def test_dpm3m_injection_blend_determinism_and_guidance_guard():
+    gt = jnp.clip(jax.random.normal(jax.random.PRNGKey(3), SHAPE), -1, 1)
+    mask = jnp.zeros(SHAPE[:-1] + (1,)).at[:, 2:5, 2:5].set(1.0)
+    cfg = SamplerConfig(method="dpm++3m", num_steps=7, injection=True)
+    a = inpaint_sample(_eps_apply_fn, SCHED, cfg, gt=gt, mask=mask,
+                       key=jax.random.PRNGKey(4))
+    assert np.all(np.isfinite(np.asarray(a)))
+    keep = np.asarray(1 - mask)[..., 0] > 0.5
+    np.testing.assert_array_equal(np.asarray(a)[keep], np.asarray(gt)[keep])
+    # deterministic solver: key only seeds injection/init noise
+    cfg_d = SamplerConfig(method="dpm++3m", num_steps=7, injection=False,
+                          final_blend=False)
+    x_init = jax.random.normal(jax.random.PRNGKey(2), SHAPE)
+    o1 = inpaint_sample(_eps_apply_fn, SCHED, cfg_d, gt=gt, mask=mask,
+                        key=jax.random.PRNGKey(0), x_init=x_init)
+    o2 = inpaint_sample(_eps_apply_fn, SCHED, cfg_d, gt=gt, mask=mask,
+                        key=jax.random.PRNGKey(1), x_init=x_init)
+    np.testing.assert_array_equal(np.asarray(o1), np.asarray(o2))
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="classifier guidance"):
+        inpaint_sample(_eps_apply_fn, SCHED, cfg, gt=gt, mask=mask,
+                       key=jax.random.PRNGKey(0), cond_fn=lambda x, t: x)
+
+
+def test_dpm3m_encoder_cache_and_unconditional():
+    """The (m1, m2) tuple carry composes with the encoder-cache scan, and
+    the unconditional entry point runs."""
+    from fidm_tpu.models import InpaintingUNet, UNetConfig
+
+    cfg_u = UNetConfig(
+        image_size=16, in_channels=9, model_channels=32, out_channels=6,
+        num_res_blocks=1, attention_resolutions=(2,), channel_mult=(1, 2),
+        num_heads=2, num_head_channels=16, dtype=jnp.float32,
+    )
+    m = InpaintingUNet(cfg_u)
+    gt = jnp.clip(jax.random.normal(jax.random.PRNGKey(3), (1, 16, 16, 3)), -1, 1)
+    mask = jnp.zeros((1, 16, 16, 1)).at[:, 4:12, 4:12].set(1.0)
+    variables = m.init(jax.random.PRNGKey(0), gt, jnp.zeros((1,), jnp.int32),
+                       gt, mask)
+
+    def apply_fn(x, t, mi, mk):
+        return m.apply(variables, x, t, mi, mk)
+
+    cache_apply = (
+        lambda x, t, mi, mk: m.apply(variables, x, t, mi, mk,
+                                     return_cache=True),
+        lambda x, t, mi, mk, c: m.apply(variables, x, t, mi, mk, cache=c),
+    )
+    cfg = SamplerConfig(method="dpm++3m", num_steps=6, injection=True,
+                        encoder_cache_period=2)
+    out = inpaint_sample(apply_fn, SCHED, cfg, gt=gt, mask=mask,
+                         key=jax.random.PRNGKey(4), cache_apply=cache_apply)
+    assert np.all(np.isfinite(np.asarray(out)))
+    keep = np.asarray(1 - mask)[..., 0] > 0.5
+    np.testing.assert_array_equal(np.asarray(out)[keep], np.asarray(gt)[keep])
+
+    def uncond_fn(x, t):
+        return jnp.concatenate([0.2 * x, jnp.zeros_like(x)], axis=-1)
+
+    cfg2 = SamplerConfig(method="dpm++3m", num_steps=6, injection=False)
+    out2 = sample(uncond_fn, SCHED, cfg2, shape=SHAPE,
+                  key=jax.random.PRNGKey(0))
+    assert out2.shape == SHAPE and np.all(np.isfinite(np.asarray(out2)))
