@@ -369,10 +369,11 @@ def test_dpm3m_more_accurate_than_2m_at_same_steps():
                              x_init=jnp.asarray(x_init))
         return float(np.mean((np.asarray(out, np.float64) - truth) ** 2))
 
-    # measured landscape (sweep in this test's setup): 3m < 2m at every
-    # (K, spacing) in {6,8,10,15}x{uniform,lambda} EXCEPT uniform-10; the
-    # win is largest on the lambda spacing the DPM error bounds assume
-    # (lambda-10: 0.025 vs 52). Assert the representative points.
+    # measured landscape (sweep in this test's setup, K in {6,8,10,15},
+    # spacing in {uniform,lambda}): 3m < 2m everywhere EXCEPT uniform-10
+    # and lambda-6; the win is largest on the lambda spacing the DPM
+    # error bounds assume (lambda-10: 0.025 vs 52). Assert the
+    # representative points.
     for K in (8, 10):
         err_2m = run("dpm++2m", K, "lambda")
         err_3m = run("dpm++3m", K, "lambda")
