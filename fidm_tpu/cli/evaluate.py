@@ -367,8 +367,10 @@ def main(argv=None):
         np.concatenate([extractor(f) for f in fakes]),
     )
     fid_real = None
+    kid = None
     if inception is not None:
-        from ..metrics import compute_statistics, frechet_distance
+        from ..metrics import (compute_statistics, frechet_distance,
+                               kid_from_features)
 
         fake_feats = np.concatenate([inception(f) for f in fakes])
         mu_f, sig_f = compute_statistics(fake_feats)
@@ -376,9 +378,14 @@ def main(argv=None):
             ref = np.load(args.fid_stats)
             fid_real = frechet_distance(ref["mu"], ref["sigma"], mu_f, sig_f)
         else:
-            mu_r, sig_r = compute_statistics(
-                np.concatenate([inception(r) for r in reals]))
+            real_feats = np.concatenate([inception(r) for r in reals])
+            mu_r, sig_r = compute_statistics(real_feats)
             fid_real = frechet_distance(mu_r, sig_r, mu_f, sig_f)
+            if len(real_feats) >= 2 and len(fake_feats) >= 2:
+                # unbiased companion to FID — meaningful at sample counts
+                # where the 2048x2048 covariance estimate is badly biased
+                kid = kid_from_features(real_feats, fake_feats,
+                                        seed=args.seed)
 
     results = {
         "num_samples": n_done,
@@ -407,6 +414,8 @@ def main(argv=None):
     }
     if fid_real is not None:
         results["fid"] = float(fid_real)
+    if kid is not None:
+        results["kid_mean"], results["kid_std"] = kid
     if lpips_vals:
         results["lpips_mean"] = float(np.mean(lpips_vals))
     with open(os.path.join(args.output_dir, "metrics.txt"), "w") as f:

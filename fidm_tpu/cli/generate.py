@@ -30,7 +30,10 @@ def parse_args(argv=None):
     p.add_argument("--num_head_channels", type=int, default=64)
     p.add_argument("--attention_resolutions", type=int, nargs="+",
                    default=[16])
-    p.add_argument("--method", default="ddpm", choices=["ddpm", "ddim"])
+    p.add_argument("--method", default="ddpm",
+                   choices=["ddpm", "ddim", "dpm++2m", "dpm++3m"],
+                   help="dpm++3m: third-order solver — its sweet spot is "
+                        "unconditional generation (docs/TUNING.md 2b)")
     p.add_argument("--ddim_timesteps", type=int, default=None)
     p.add_argument("--eta", type=float, default=0.0)
     p.add_argument("--schedule", default="linear")
@@ -73,7 +76,8 @@ def main(argv=None):
 
     scfg = SamplerConfig(
         method=args.method,
-        num_steps=args.ddim_timesteps if args.method == "ddim" else None,
+        num_steps=(args.ddim_timesteps if args.method != "ddpm"
+                   else None),
         eta=args.eta, injection=False, final_blend=False,
     )
 

@@ -5,6 +5,8 @@ from .fid import (
     fid_between_image_sets,
     fid_from_features,
     frechet_distance,
+    kid_from_features,
+    polynomial_mmd2,
 )
 from .inception import convert_torch_inception_weights
 from .lpips import LPIPS

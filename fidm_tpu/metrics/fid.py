@@ -30,6 +30,8 @@ __all__ = [
     "compute_statistics",
     "frechet_distance",
     "fid_from_features",
+    "polynomial_mmd2",
+    "kid_from_features",
     "InceptionFeatureExtractor",
     "RandomConvFeatureExtractor",
 ]
@@ -69,6 +71,50 @@ def fid_from_features(real: np.ndarray, fake: np.ndarray) -> float:
     mu1, s1 = compute_statistics(real)
     mu2, s2 = compute_statistics(fake)
     return frechet_distance(mu1, s1, mu2, s2)
+
+
+def polynomial_mmd2(f_real: np.ndarray, f_fake: np.ndarray,
+                    degree: int = 3, gamma: Optional[float] = None,
+                    coef0: float = 1.0) -> float:
+    """Unbiased MMD² with the KID polynomial kernel
+    k(x, y) = (gamma x·y + coef0)^degree (Bińkowski et al. 2018,
+    arXiv:1801.01401; gamma defaults to 1/dim as in the paper)."""
+    X = np.asarray(f_real, np.float64)
+    Y = np.asarray(f_fake, np.float64)
+    if len(X) < 2 or len(Y) < 2:
+        raise ValueError("MMD needs at least 2 samples per set")
+    g = gamma if gamma is not None else 1.0 / X.shape[1]
+    k_xx = (g * (X @ X.T) + coef0) ** degree
+    k_yy = (g * (Y @ Y.T) + coef0) ** degree
+    k_xy = (g * (X @ Y.T) + coef0) ** degree
+    m, n = len(X), len(Y)
+    term_xx = (k_xx.sum() - np.trace(k_xx)) / (m * (m - 1))
+    term_yy = (k_yy.sum() - np.trace(k_yy)) / (n * (n - 1))
+    return float(term_xx + term_yy - 2.0 * k_xy.mean())
+
+
+def kid_from_features(real: np.ndarray, fake: np.ndarray,
+                      n_subsets: int = 100, max_subset_size: int = 1000,
+                      seed: int = 0) -> Tuple[float, float]:
+    """Kernel Inception Distance: (mean, std) of the unbiased polynomial
+    MMD² over random subsets — the torch-fidelity / tf-gan protocol.
+
+    KID complements FID (which the reference publishes,
+    `test_inpainting_better.py:151-223`): the estimator is unbiased, so it
+    stays meaningful at the small sample counts where FID's 2048x2048
+    covariance estimate is badly biased. Deterministic for a given seed."""
+    real = np.asarray(real)
+    fake = np.asarray(fake)
+    m = min(len(real), max_subset_size)
+    n = min(len(fake), max_subset_size)
+    rng = np.random.default_rng(seed)
+    vals = [
+        polynomial_mmd2(real[rng.choice(len(real), m, replace=False)],
+                        fake[rng.choice(len(fake), n, replace=False)])
+        for _ in range(n_subsets)
+    ]
+    v = np.asarray(vals, np.float64)
+    return float(v.mean()), float(v.std())
 
 
 class RandomConvFeatureExtractor:

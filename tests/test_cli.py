@@ -55,6 +55,9 @@ def test_evaluate_cli_quick_test(data_tree, tmp_path):
     assert np.isfinite(results["fid_proxy"])
     # real-FID path (random inception weights here; still a real number)
     assert np.isfinite(results["fid"]) and results["fid"] > 0
+    # KID rides the same features (unbiased companion metric)
+    assert np.isfinite(results["kid_mean"])
+    assert np.isfinite(results["kid_std"])
     # hole-region metrics (the hole is the product)
     assert np.isfinite(results["hole_ssim_mean"])
     assert np.isfinite(results["hole_psnr_mean"])
@@ -194,6 +197,12 @@ def test_generate_cli(tmp_path):
           "--diffusion_steps", "50", *TINY_MODEL])
     assert os.path.exists(os.path.join(out, "00000.png"))
     assert os.path.exists(os.path.join(out, "grid.png"))
+    # higher-order solver path (its sweet spot is unconditional generation)
+    out3 = str(tmp_path / "gen3m")
+    main(["--output_dir", out3, "--num_samples", "2", "--batch_size", "2",
+          "--image_size", "32", "--method", "dpm++3m", "--ddim_timesteps",
+          "6", "--diffusion_steps", "50", *TINY_MODEL])
+    assert os.path.exists(os.path.join(out3, "00000.png"))
 
 
 def test_train_cli_resume(data_tree, tmp_path):

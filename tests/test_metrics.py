@@ -175,3 +175,46 @@ def test_ssim_win_size_validation_and_small_window():
             masked_ssim(a, a, mask, win_size=bad)
         with pytest.raises(ValueError, match="win_size"):
             ssim(a, a, win_size=bad)
+
+
+def test_polynomial_mmd2_matches_pairwise_loop():
+    """The matrix form equals an independent O(n^2) per-pair loop of the
+    published unbiased estimator (Binkowski et al. 2018, eq. 3)."""
+    from fidm_tpu.metrics import polynomial_mmd2
+
+    rng = np.random.default_rng(0)
+    X = rng.standard_normal((6, 5))
+    Y = rng.standard_normal((7, 5)) + 0.3
+    g, c, d = 1.0 / 5, 1.0, 3
+
+    def k(a, b):
+        return (g * float(a @ b) + c) ** d
+
+    m, n = len(X), len(Y)
+    xx = sum(k(X[i], X[j]) for i in range(m) for j in range(m) if i != j)
+    yy = sum(k(Y[i], Y[j]) for i in range(n) for j in range(n) if i != j)
+    xy = sum(k(X[i], Y[j]) for i in range(m) for j in range(n))
+    expected = xx / (m * (m - 1)) + yy / (n * (n - 1)) - 2 * xy / (m * n)
+    assert polynomial_mmd2(X, Y) == pytest.approx(expected, rel=1e-12)
+
+
+def test_kid_zero_for_same_distribution_positive_for_shift():
+    from fidm_tpu.metrics import kid_from_features
+
+    rng = np.random.default_rng(1)
+    real = rng.standard_normal((400, 16))
+    same = rng.standard_normal((400, 16))
+    near = rng.standard_normal((400, 16)) + 0.2
+    far = rng.standard_normal((400, 16)) + 1.0
+    kid_same, _ = kid_from_features(real, same, n_subsets=20,
+                                    max_subset_size=100)
+    kid_near, _ = kid_from_features(real, near, n_subsets=20,
+                                    max_subset_size=100)
+    kid_far, _ = kid_from_features(real, far, n_subsets=20,
+                                   max_subset_size=100)
+    assert abs(kid_same) < 0.05
+    assert kid_same < kid_near < kid_far
+    # deterministic under a fixed seed
+    again, _ = kid_from_features(real, near, n_subsets=20,
+                                 max_subset_size=100)
+    assert again == kid_near
