@@ -17,6 +17,14 @@ mis-executed.
 
 Format: one pickle file per (batch, sampler) program. Only load cache
 directories you trust (pickle).
+
+XLA:CPU caveat (TPU is the target and unaffected): combining this AOT
+cache with jax's persistent compilation cache in one process can hit an
+XLA:CPU loader bug ("Buffer Definition Event: Function ... not found" at
+execution) — the CPU AOT loader mishandles executables that round-trip
+through both serialization paths. save_programs already bypasses the
+compilation cache for its compiles; if you serve on CPU with a program
+cache, leave the compilation cache off (FIDM_NO_COMPILATION_CACHE=1).
 """
 from __future__ import annotations
 
@@ -83,7 +91,17 @@ def save_programs(pipeline, cache_dir: str, batch_sizes,
         path = program_path(cache_dir, pipeline, batch, cfg)
         if os.path.exists(path) and not overwrite:
             continue
-        compiled = pipeline.compile_batch(batch, cfg)
+        # Bypass jax's persistent compilation cache for THIS compile: when
+        # lowered.compile() returns an executable deserialized from that
+        # cache, re-serializing it produces a broken artifact on XLA:CPU
+        # (missing-function errors at execution, observed on this build).
+        # A fresh compile serializes correctly everywhere.
+        cc_dir = jax.config.jax_compilation_cache_dir
+        jax.config.update("jax_compilation_cache_dir", None)
+        try:
+            compiled = pipeline.compile_batch(batch, cfg)
+        finally:
+            jax.config.update("jax_compilation_cache_dir", cc_dir)
         pipeline.install_program(batch, cfg, compiled)  # reuse, don't re-jit
         blob, in_tree, out_tree = se.serialize(compiled)
         tmp = path + ".tmp"

@@ -17,6 +17,13 @@ if "xla_force_host_platform_device_count" not in flags:
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 
+# Hermetic tests: the CLIs turn on jax's persistent compilation cache
+# (fidm_tpu/utils/cache.py), which would couple test runs through
+# ~/.cache and, on XLA:CPU, feed cache-deserialized executables into
+# serialize_executable (broken on this build — see serving/aot.py).
+# Tests that exercise the helper set the env vars explicitly.
+os.environ.setdefault("FIDM_NO_COMPILATION_CACHE", "1")
+
 import jax  # noqa: E402
 
 # The axon sitecustomize pins the TPU platform regardless of JAX_PLATFORMS;
