@@ -377,6 +377,13 @@ def main(argv=None):
         if args.fid_stats:
             ref = np.load(args.fid_stats)
             fid_real = frechet_distance(ref["mu"], ref["sigma"], mu_f, sig_f)
+            if "features" in ref and len(fake_feats) >= 2:
+                # stats files written by cli.fid_stats carry the raw
+                # features, so KID works against the fixed reference set
+                # too (older mu/sigma-only files skip it)
+                kid = kid_from_features(
+                    ref["features"].astype(np.float64), fake_feats,
+                    seed=args.seed)
         else:
             real_feats = np.concatenate([inception(r) for r in reals])
             mu_r, sig_r = compute_statistics(real_feats)

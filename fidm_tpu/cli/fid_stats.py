@@ -35,7 +35,7 @@ def parse_args(argv=None):
 
 def compute_stats_for_dir(data_dir: str, extractor, batch_size: int = 32,
                           image_size: int = 256, num_samples=None):
-    """(mu, sigma, n) of pool3 features over every image in a directory."""
+    """(mu, sigma, n, features) of pool3 features over a directory."""
     import glob
     import os
 
@@ -57,7 +57,7 @@ def compute_stats_for_dir(data_dir: str, extractor, batch_size: int = 32,
         feats.append(extractor((imgs + 1.0) / 2.0))  # [-1,1] -> [0,1]
     feats = np.concatenate(feats, axis=0)
     mu, sigma = compute_statistics(feats)
-    return mu, sigma, len(paths)
+    return mu, sigma, len(paths), feats
 
 
 def main(argv=None):
@@ -71,10 +71,14 @@ def main(argv=None):
     args = parse_args(argv)
     extractor = InceptionFeatureExtractor.from_torch_file(
         args.fid_weights, jit=jax.default_backend() != "cpu")
-    mu, sigma, n = compute_stats_for_dir(
+    mu, sigma, n, feats = compute_stats_for_dir(
         args.data_dir, extractor, batch_size=args.batch_size,
         image_size=args.image_size, num_samples=args.num_samples)
-    np.savez(args.out, mu=mu, sigma=sigma, num_images=n, dim=extractor.dim)
+    # raw features ride along (f16, ~4 MB per 1k images) so evaluate can
+    # also compute KID against the fixed reference set; (mu, sigma) alone
+    # only supports the Frechet distance
+    np.savez(args.out, mu=mu, sigma=sigma, num_images=n, dim=extractor.dim,
+             features=feats.astype(np.float16))
     print(f"wrote {args.out}: {n} images, dim {extractor.dim}")
     return {"num_images": n, "dim": extractor.dim, "out": args.out}
 

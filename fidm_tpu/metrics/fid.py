@@ -107,6 +107,11 @@ def kid_from_features(real: np.ndarray, fake: np.ndarray,
     fake = np.asarray(fake)
     m = min(len(real), max_subset_size)
     n = min(len(fake), max_subset_size)
+    if m == len(real) and n == len(fake):
+        # every "subset" would be a permutation of the full sets and the
+        # estimator is permutation-invariant: one exact computation; the
+        # subset-variance statistic is undefined (0.0) at this sample count
+        return polynomial_mmd2(real, fake), 0.0
     rng = np.random.default_rng(seed)
     vals = [
         polynomial_mmd2(real[rng.choice(len(real), m, replace=False)],

@@ -207,6 +207,11 @@ class InpaintingPipeline:
                 f"mask must be [B,H,W,1] matching gt spatial dims; got "
                 f"mask {mask.shape} vs gt {gt.shape}"
             )
+        # one input contract for BOTH dispatch paths: f32 gt/mask (the AOT
+        # executables are compiled for f32, and the jit path must produce
+        # identical numerics whether or not a cached program is installed)
+        gt = jnp.asarray(gt, jnp.float32)
+        mask = jnp.asarray(mask, jnp.float32)
         cache_key = (gt.shape, cfg,
                      id(cond_fn) if cond_fn is not None else None)
         if cond_fn is not None and cache_key not in self._jitted:
@@ -220,13 +225,10 @@ class InpaintingPipeline:
         if cond_fn is None:
             aot = self._aot.get((tuple(gt.shape), cfg))
             if aot is not None:
-                return aot(self.variables,
-                           jnp.asarray(gt, jnp.float32),
-                           jnp.asarray(mask, jnp.float32), key)
+                return aot(self.variables, gt, mask, key)
         if cache_key not in self._jitted:
             self._jitted[cache_key] = self._make_jit(cfg, cond_fn)
-        return self._jitted[cache_key](self.variables, jnp.asarray(gt),
-                                       jnp.asarray(mask), key)
+        return self._jitted[cache_key](self.variables, gt, mask, key)
 
     def _make_jit(self, cfg: SamplerConfig, cond_fn=None):
         """The jitted sampling program for one SamplerConfig (+ optional

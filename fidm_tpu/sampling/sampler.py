@@ -223,8 +223,10 @@ def _dpm3m_tables(sched: DiffusionSchedule, cfg: SamplerConfig):
              + alpha_p((e^{-h}-1)/h + 1) D1
              - alpha_p((e^{-h}-1+h)/h^2 - 1/2) D2
     Order warmup mirrors diffusers: step 0 is first-order, step 1 runs the
-    2M update (folded in here as c2 = phi1/2, D1 = D1_0), and the final
-    step to alpha_bar = 1 (h = inf) collapses to first order (x = m0).
+    2M update (folded in here as c2 = phi1/2, D1 = D1_0), the final step
+    to alpha_bar = 1 (h = inf) collapses to first order (x = m0), and with
+    fewer than 15 total steps the second-to-last step also drops to the 2M
+    update (diffusers' lower_order_second stabilizer).
     Deterministic; `eta` is ignored. Injection tables are shared with the
     DDIM loop (same levels). Third order pays off for smooth (well-trained,
     unguided) models at <= ~15 steps; prefer 2M/SDE otherwise — same
@@ -244,6 +246,12 @@ def _dpm3m_tables(sched: DiffusionSchedule, cfg: SamplerConfig):
     step_i = np.arange(len(h))
     finite = np.isfinite(h)
     ord3 = finite & (step_i >= 2) & np.isfinite(h0) & np.isfinite(h1)
+    if len(h) < 15:
+        # diffusers' lower_order_second stabilizer: with < 15 total steps
+        # the second-to-last step runs the 2M update (the final step is
+        # already first-order via h = inf) — third order into the largest
+        # log-SNR step near t=0 is the least stable extrapolation
+        ord3 &= step_i != len(h) - 2
     ord2 = finite & (step_i >= 1) & np.isfinite(h0) & ~ord3
     h_safe = np.where(finite, h, 1.0)
     exp_mh = np.where(finite, np.exp(-h_safe), 0.0)

@@ -22,9 +22,9 @@ XLA:CPU caveat (TPU is the target and unaffected): combining this AOT
 cache with jax's persistent compilation cache in one process can hit an
 XLA:CPU loader bug ("Buffer Definition Event: Function ... not found" at
 execution) — the CPU AOT loader mishandles executables that round-trip
-through both serialization paths. save_programs already bypasses the
-compilation cache for its compiles; if you serve on CPU with a program
-cache, leave the compilation cache off (FIDM_NO_COMPILATION_CACHE=1).
+through both serialization paths. save_programs bypasses the compilation
+cache for its compiles on CPU; if you serve on CPU with a program cache,
+also leave the compilation cache off (FIDM_NO_COMPILATION_CACHE=1).
 """
 from __future__ import annotations
 
@@ -91,17 +91,22 @@ def save_programs(pipeline, cache_dir: str, batch_sizes,
         path = program_path(cache_dir, pipeline, batch, cfg)
         if os.path.exists(path) and not overwrite:
             continue
-        # Bypass jax's persistent compilation cache for THIS compile: when
-        # lowered.compile() returns an executable deserialized from that
-        # cache, re-serializing it produces a broken artifact on XLA:CPU
-        # (missing-function errors at execution, observed on this build).
-        # A fresh compile serializes correctly everywhere.
-        cc_dir = jax.config.jax_compilation_cache_dir
-        jax.config.update("jax_compilation_cache_dir", None)
-        try:
+        # On XLA:CPU, bypass jax's persistent compilation cache for THIS
+        # compile: when lowered.compile() returns an executable
+        # deserialized from that cache, re-serializing it produces a
+        # broken artifact (missing-function errors at execution, observed
+        # on this build). TPU executables round-trip fine, and bypassing
+        # there would re-pay the full cold compile, so the workaround is
+        # CPU-only.
+        if jax.default_backend() == "cpu":
+            cc_dir = jax.config.jax_compilation_cache_dir
+            jax.config.update("jax_compilation_cache_dir", None)
+            try:
+                compiled = pipeline.compile_batch(batch, cfg)
+            finally:
+                jax.config.update("jax_compilation_cache_dir", cc_dir)
+        else:
             compiled = pipeline.compile_batch(batch, cfg)
-        finally:
-            jax.config.update("jax_compilation_cache_dir", cc_dir)
         pipeline.install_program(batch, cfg, compiled)  # reuse, don't re-jit
         blob, in_tree, out_tree = se.serialize(compiled)
         tmp = path + ".tmp"
@@ -144,7 +149,14 @@ def load_programs(pipeline, cache_dir: str, batch_sizes,
                                               data["out_tree"],
                                               execution_devices=devs)
         except Exception as e:  # corrupt/stale entry: recompile, don't die
-            print(f"AOT program cache: skipping unreadable {path}: {e}")
+            print(f"AOT program cache: dropping unreadable {path}: {e}")
+            try:
+                # remove it so the caller's save_programs recompiles and
+                # heals the cache (otherwise the exists-check would skip
+                # this entry forever and every restart would pay a compile)
+                os.remove(path)
+            except OSError:
+                pass
             continue
         pipeline.install_program(batch, cfg, program)
         loaded += 1

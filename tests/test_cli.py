@@ -332,6 +332,9 @@ def test_fid_stats_cli_and_evaluate_consumes_them(data_tree, tmp_path):
     assert info["num_images"] == 6 and info["dim"] == 2048
     ref = np.load(out_npz)
     assert ref["mu"].shape == (2048,) and ref["sigma"].shape == (2048, 2048)
+    # raw features ride along so evaluate can compute KID against the
+    # fixed reference set
+    assert ref["features"].shape == (6, 2048)
 
     results = eval_main([
         "--data_dir", img_dir, "--mask_dir", mask_dir,
@@ -340,6 +343,7 @@ def test_fid_stats_cli_and_evaluate_consumes_them(data_tree, tmp_path):
         "--fid_stats", out_npz, "--no_save_images", *TINY_MODEL,
     ])
     assert np.isfinite(results["fid"]) and results["fid"] > 0
+    assert np.isfinite(results["kid_mean"])
 
 
 def test_lora_train_then_evaluate_roundtrip(data_tree, tmp_path):

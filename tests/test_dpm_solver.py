@@ -293,7 +293,8 @@ def _numpy_dpm3m_oracle(x_init, eps_fn, K, clip=True):
     """Float64 DPM-Solver++(3M) in data-prediction form (arXiv:2211.01095;
     diffusers' multistep_dpm_solver_third_order_update), with the same
     order warmup as the sampler: step 0 first-order, step 1 the 2M update,
-    final step (h = inf) first-order."""
+    final step (h = inf) first-order, and (diffusers' lower_order_second)
+    the second-to-last step drops to 2M when K < 15."""
     acp = _acp64()
     seq = ddim_timestep_sequence(T, K)
     x = np.asarray(x_init, np.float64)
@@ -314,7 +315,7 @@ def _numpy_dpm3m_oracle(x_init, eps_fn, K, clip=True):
         if m1 is None or not np.isfinite(h):
             x = (sigma_p / sigma_t) * x + alpha_p * (1 - np.exp(-h)) * m0 \
                 if np.isfinite(h) else m0
-        elif m2 is None:
+        elif m2 is None or (len(seq) < 15 and i == len(seq) - 2):
             c = h / (2 * h0)
             d = (1 + c) * m0 - c * m1
             x = (sigma_p / sigma_t) * x + alpha_p * (1 - np.exp(-h)) * d
@@ -370,15 +371,16 @@ def test_dpm3m_more_accurate_than_2m_at_same_steps():
         return float(np.mean((np.asarray(out, np.float64) - truth) ** 2))
 
     # measured landscape (sweep in this test's setup, K in {6,8,10,15},
-    # spacing in {uniform,lambda}): 3m < 2m everywhere EXCEPT uniform-10
-    # and lambda-6; the win is largest on the lambda spacing the DPM
-    # error bounds assume (lambda-10: 0.025 vs 52). Assert the
-    # representative points.
+    # spacing in {uniform,lambda}): with the lower_order_second guard,
+    # 3m < 2m everywhere EXCEPT lambda-6; the win is largest on the
+    # lambda spacing the DPM error bounds assume (lambda-10: 0.19 vs 52).
+    # Assert the representative points.
     for K in (8, 10):
         err_2m = run("dpm++2m", K, "lambda")
         err_3m = run("dpm++3m", K, "lambda")
         assert err_3m < err_2m, (K, err_3m, err_2m)
-    assert run("dpm++3m", 6, "uniform") < run("dpm++2m", 6, "uniform")
+    for K in (6, 10):
+        assert run("dpm++3m", K, "uniform") < run("dpm++2m", K, "uniform")
 
 
 def test_dpm3m_perfect_model_recovers_x0():

@@ -218,3 +218,17 @@ def test_kid_zero_for_same_distribution_positive_for_shift():
     again, _ = kid_from_features(real, near, n_subsets=20,
                                  max_subset_size=100)
     assert again == kid_near
+
+
+def test_kid_small_sets_computed_exactly_once():
+    """When both sets fit in one subset, every 'subset' would be a
+    permutation of the full sets (the estimator is permutation-invariant):
+    one exact computation, std reported as 0.0 — not 100 identical loops."""
+    from fidm_tpu.metrics import kid_from_features, polynomial_mmd2
+
+    rng = np.random.default_rng(2)
+    real = rng.standard_normal((40, 8))
+    fake = rng.standard_normal((40, 8)) + 0.5
+    mean, std = kid_from_features(real, fake)  # default subset size 1000
+    assert std == 0.0
+    assert mean == pytest.approx(polynomial_mmd2(real, fake), rel=1e-12)
