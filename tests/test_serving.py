@@ -1,5 +1,6 @@
 """Serving-layer tests: micro-batching dispatcher + HTTP round trip."""
 import io
+import os
 import threading
 import urllib.request
 
@@ -194,11 +195,15 @@ def test_aot_cache_fingerprint_mismatch_is_skipped(tmp_path):
     assert aot.load_programs(pipe1, str(tmp_path), [1], sampler=other) == 0
     pipe_bf16 = InpaintingPipeline.create(TINY).cast_params(jnp.bfloat16)
     assert aot.load_programs(pipe_bf16, str(tmp_path), [1]) == 0
-    # corrupt entry: skipped with a warning, not fatal
+    # corrupt entry: skipped with a warning AND removed, so the follow-up
+    # save recompiles and heals the cache instead of skipping forever
     path = aot.program_path(str(tmp_path), pipe1, 1)
     with open(path, "wb") as f:
         f.write(b"not a pickle")
     assert aot.load_programs(pipe1, str(tmp_path), [1]) == 0
+    assert not os.path.exists(path)
+    assert aot.save_programs(pipe1, str(tmp_path), [1]) == 1
+    assert aot.load_programs(pipe1, str(tmp_path), [1]) == 1
 
 
 def test_server_restart_rides_program_cache(tmp_path):
