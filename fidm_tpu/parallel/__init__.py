@@ -8,3 +8,4 @@ from .mesh import (
     shard_params,
 )
 from .multihost import global_batch, host_local_slice, initialize, launched_by_env
+from .tp import spatial_sharding, tp_param_specs, tp_shard_params

@@ -10,6 +10,9 @@ Axes:
   - "data": batch (data-parallel) sharding for train and eval sampling.
   - "fsdp": optional parameter sharding axis (ZeRO-style) for models too
     large to replicate.
+  - "model": optional tensor-parallel axis (Megatron column/row sharding of
+    the UNet channel dims — see `parallel/tp.py`); only present when
+    requested so existing 2-axis meshes are unchanged.
 """
 from __future__ import annotations
 
@@ -34,17 +37,27 @@ def create_mesh(
     data: Optional[int] = None,
     fsdp: int = 1,
     devices: Optional[Sequence[jax.Device]] = None,
+    model: int = 1,
 ) -> Mesh:
-    """Create a (data[, fsdp]) mesh over the available devices.
+    """Create a (data[, fsdp][, model]) mesh over the available devices.
 
-    `data=None` uses all devices on the data axis. ICI-adjacent devices stay
-    adjacent on the data axis so gradient all-reduces ride the torus links.
+    `data=None` uses all remaining devices on the data axis. ICI-adjacent
+    devices stay adjacent on the *innermost* axes, so the chatty collectives
+    (per-block TP psums on "model", param all-gathers on "fsdp") ride the
+    shortest torus links and the per-step gradient all-reduce on "data"
+    takes the long hops. The "model" axis is only materialized when
+    model > 1, keeping 2-axis meshes (and their cache keys) unchanged.
     """
     devices = list(devices if devices is not None else jax.devices())
     n = len(devices)
     if data is None:
-        data = n // fsdp
-    assert data * fsdp == n, f"mesh {data}x{fsdp} != {n} devices"
+        data = n // (fsdp * model)
+    assert data * fsdp * model == n, (
+        f"mesh {data}x{fsdp}x{model} != {n} devices"
+    )
+    if model > 1:
+        arr = np.asarray(devices).reshape(data, fsdp, model)
+        return Mesh(arr, ("data", "fsdp", "model"))
     arr = np.asarray(devices).reshape(data, fsdp)
     return Mesh(arr, ("data", "fsdp"))
 

@@ -139,14 +139,46 @@ class InpaintingPipeline:
 
     def __init__(self, model, variables, sched, config: PipelineConfig,
                  mesh=None, fsdp_params: bool = False,
-                 fsdp_min_size: int = 2**18):
+                 fsdp_min_size: int = 2**18, tp_params: bool = False,
+                 shard_spatial: bool = False):
         self.model = model
         self.variables = variables
         self.sched = sched
         self.config = config
         self.mesh = mesh
+        self.shard_spatial = shard_spatial
+        if tp_params and shard_spatial:
+            raise ValueError(
+                "tp_params and shard_spatial both use the mesh's 'model' "
+                "axis — pick one latency-scaling layout"
+            )
+        if (tp_params or shard_spatial) and (
+            mesh is None or mesh.shape.get("model", 1) <= 1
+        ):
+            raise ValueError(
+                "tp_params/shard_spatial need a mesh with a 'model' axis "
+                "(parallel.create_mesh(model=k))"
+            )
+        if (tp_params or shard_spatial) and mesh is not None:
+            # the Pallas attention kernel is an opaque custom call the SPMD
+            # partitioner cannot split across "model"-axis shardings; use
+            # the XLA fallback (attention is ~0.2% of a step, BENCH.md)
+            from .ops.registry import set_use_pallas
+
+            set_use_pallas(False, "attention")
         if mesh is not None:
-            if fsdp_params:
+            if tp_params:
+                # Megatron column/row channel sharding (parallel/tp.py):
+                # divides per-forward FLOPs per chip — the latency-scaling
+                # layout.
+                from .parallel import tp_shard_params
+
+                params, _ = tp_shard_params(
+                    self.variables["params"], mesh,
+                    fsdp_min_size=fsdp_min_size if fsdp_params else None,
+                )
+                self.variables = dict(self.variables, params=params)
+            elif fsdp_params:
                 # ZeRO-3-style parameter sharding for eval: serve models
                 # too large to replicate per chip — XLA inserts the
                 # all-gathers over ICI inside the sampling program
@@ -169,13 +201,15 @@ class InpaintingPipeline:
     @classmethod
     def create(cls, config: Optional[PipelineConfig] = None,
                checkpoint: Optional[str] = None, key=None, mesh=None,
-               fsdp_params: bool = False, fsdp_min_size: int = 2**18):
+               fsdp_params: bool = False, fsdp_min_size: int = 2**18,
+               tp_params: bool = False, shard_spatial: bool = False):
         config = config or PipelineConfig()
         model, variables, sched = create_model_and_schedule(
             config, checkpoint=checkpoint, key=key
         )
         return cls(model, variables, sched, config, mesh=mesh,
-                   fsdp_params=fsdp_params, fsdp_min_size=fsdp_min_size)
+                   fsdp_params=fsdp_params, fsdp_min_size=fsdp_min_size,
+                   tp_params=tp_params, shard_spatial=shard_spatial)
 
     def cast_params(self, dtype=jnp.bfloat16):
         """Cast float params to `dtype` for inference (halves weight HBM
@@ -262,9 +296,15 @@ class InpaintingPipeline:
                                   cond_fn=cond_fn)
 
         if self.mesh is not None:
-            from .parallel import batch_sharding, replicated
+            from .parallel import batch_sharding, replicated, spatial_sharding
 
-            bs = batch_sharding(self.mesh)
+            if self.shard_spatial:
+                # GSPMD spatial partitioning: images sharded along H over
+                # the "model" axis (XLA inserts conv halo exchanges); batch
+                # still sharded over data(+fsdp). See parallel/tp.py.
+                bs = spatial_sharding(self.mesh)
+            else:
+                bs = batch_sharding(self.mesh)
             return jax.jit(
                 run,
                 in_shardings=(None, bs, bs, replicated(self.mesh)),
