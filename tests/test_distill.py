@@ -152,3 +152,138 @@ def test_distill_step_reduces_loss_tiny_model():
     # per-step loss is noisy (random timestep segments); compare window means
     assert np.mean(losses[-4:]) < np.mean(losses[:4])
     assert np.isfinite(losses).all()
+
+
+# ------------------------------------------------------- consistency distillation
+
+def test_consistency_grid():
+    from fidm_tpu.distill import consistency_grid
+
+    g = consistency_grid(1000, 5)
+    assert len(g) == 6 and g[0] == 999 and g[-1] == 0
+    assert all(np.diff(g) < 0)
+    assert consistency_grid(1000, 1).tolist() == [999, 0]
+
+
+def test_consistency_perfect_teacher_and_target_zero_loss():
+    """Exact-eps teacher + a student/target that already predicts the true
+    x0: the consistency objective is ~zero (f is already consistent)."""
+    from fidm_tpu.distill import make_consistency_step
+    from fidm_tpu.training import TrainState
+
+    x0_true = jnp.clip(
+        jax.random.normal(jax.random.PRNGKey(3), (4, 8, 8, 3)) * 0.4, -1, 1
+    )
+    acp = SCHED.sqrt_alphas_cumprod
+    s1m = SCHED.sqrt_one_minus_alphas_cumprod
+
+    def teacher_apply(params, x, t, mi, m):
+        a = acp[t][:, None, None, None]
+        s = s1m[t][:, None, None, None]
+        return (x - a * x0_true) / s  # exact eps
+
+    def student_apply(params, x, t, mi, m):
+        a = acp[t][:, None, None, None]
+        s = s1m[t][:, None, None, None]
+        return (a * x - x0_true * (1 + params["b"])) / s  # exact v at b=0
+
+    state = TrainState.create(
+        apply_fn=None, params={"b": jnp.zeros(())},
+        ema_params={"b": jnp.zeros(())}, tx=optax.sgd(0.0),
+    )
+    step = make_consistency_step(
+        SCHED, teacher_apply, student_apply, grid_size=10,
+        clip_denoised=False,
+    )
+    batch = {
+        "image": x0_true,
+        "masked_image": x0_true,
+        "mask": jnp.zeros((4, 8, 8, 1)),
+    }
+    _, metrics = step(state, {}, batch, jax.random.PRNGKey(0))
+    assert float(metrics["loss"]) < 1e-4
+
+
+def test_consistency_sample_perfect_model():
+    """A perfect v-model samples the true x0 in ONE step (and in four), is
+    key-deterministic, and preserves injected known pixels exactly."""
+    from fidm_tpu.distill import consistency_sample
+
+    x0 = jnp.clip(
+        jax.random.normal(jax.random.PRNGKey(0), (2, 8, 8, 3)) * 0.5, -1, 1
+    )
+    acp = SCHED.sqrt_alphas_cumprod
+    s1m = SCHED.sqrt_one_minus_alphas_cumprod
+
+    def apply_fn(x, t):
+        a = acp[t][:, None, None, None]
+        s = s1m[t][:, None, None, None]
+        return (a * x - x0) / s
+
+    key = jax.random.PRNGKey(1)
+    for steps in (1, 4):
+        out = consistency_sample(apply_fn, SCHED, steps, x0.shape, key)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(x0), atol=5e-3)
+    out2 = consistency_sample(apply_fn, SCHED, 4, x0.shape, key)
+    out3 = consistency_sample(apply_fn, SCHED, 4, x0.shape, key)
+    np.testing.assert_array_equal(np.asarray(out2), np.asarray(out3))
+
+    mask = jnp.zeros((2, 8, 8, 1)).at[:, 2:6, 2:6].set(1.0)
+    out_inp = consistency_sample(apply_fn, SCHED, 2, x0.shape, key,
+                                 gt=x0, mask=mask)
+    keep = np.asarray(mask[..., 0]) < 0.5
+    np.testing.assert_array_equal(np.asarray(out_inp)[keep],
+                                  np.asarray(x0)[keep])
+
+
+def test_consistency_step_reduces_loss_tiny_model():
+    """Distill a tiny random teacher with the real step: loss drops, the
+    EMA target network moves toward the student."""
+    from fidm_tpu.distill import make_consistency_step
+    from fidm_tpu.models import InpaintingUNet, UNetConfig
+    from fidm_tpu.training import TrainState, make_optimizer
+
+    cfg = UNetConfig(
+        image_size=8, in_channels=9, model_channels=32, out_channels=6,
+        num_res_blocks=1, attention_resolutions=(2,), channel_mult=(1, 2),
+        num_heads=1, num_head_channels=32, dtype=jnp.float32,
+    )
+    model = InpaintingUNet(cfg)
+    key = jax.random.PRNGKey(0)
+    x = jnp.zeros((1, 8, 8, 3))
+    variables = model.init(key, x, jnp.zeros((1,), jnp.int32), x,
+                           jnp.ones((1, 8, 8, 1)))
+    leaves, treedef = jax.tree_util.tree_flatten(variables["params"])
+    keys = jax.random.split(key, len(leaves))
+    teacher_params = jax.tree_util.tree_unflatten(
+        treedef,
+        [l + 0.05 * jax.random.normal(k, l.shape, l.dtype)
+         for l, k in zip(leaves, keys)],
+    )
+
+    def apply(params, xx, t, mi, m):
+        return model.apply({"params": params}, xx, t, mi, m)
+
+    state = TrainState.create(
+        apply_fn=None, params=teacher_params, ema_params=teacher_params,
+        tx=make_optimizer(optax.constant_schedule(1e-3)),
+    )
+    step = make_consistency_step(
+        SCHED, apply, apply, grid_size=10,
+        teacher_mean_type=ModelMeanType.EPSILON,
+        student_mean_type=ModelMeanType.EPSILON,
+        ema_decay=0.9,
+    )
+    img = jax.random.normal(jax.random.fold_in(key, 9), (4, 8, 8, 3)) * 0.5
+    mask = jnp.zeros((4, 8, 8, 1)).at[:, :4].set(1.0)
+    batch = {"image": img, "masked_image": img * (1 - mask), "mask": mask}
+    losses = []
+    for i in range(14):
+        state, m = step(state, teacher_params, batch, jax.random.PRNGKey(5))
+        losses.append(float(m["loss"]))
+    assert np.mean(losses[-4:]) < np.mean(losses[:4])
+    assert np.isfinite(losses).all()
+    # the target network must have moved off its init toward the student
+    d_tgt = optax.global_norm(jax.tree_util.tree_map(
+        lambda a, b: a - b, state.ema_params, teacher_params))
+    assert float(d_tgt) > 0.0
