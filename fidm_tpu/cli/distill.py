@@ -1,10 +1,11 @@
-"""Progressive-distillation CLI: halve a trained model's sampling steps.
+"""Distillation CLI: train few-step students from a trained checkpoint.
 
-Productizes `fidm_tpu.distill` (Salimans & Ho 2022; lever proven in
-`examples/toy_distillation_uncond.py`: 8x step cut at teacher quality).
-Starting from a trained teacher checkpoint, each round trains a student to
-match TWO teacher DDIM steps in ONE, halving the step count; the ladder
-runs until --final_steps. Each student lands in
+Productizes `fidm_tpu.distill`. Two modes:
+
+--mode progressive (default; Salimans & Ho 2022, lever proven in
+`examples/toy_distillation_uncond.py`: 8x step cut at teacher quality):
+each round trains a student to match TWO teacher DDIM steps in ONE,
+halving the step count until --final_steps. Each student lands in
 `--out/student_<K>/` as a standard Orbax checkpoint `cli.evaluate` can load
 directly, with its matching timestep grid in the metadata and in
 `student_<K>/grid.json`:
@@ -16,6 +17,18 @@ directly, with its matching timestep grid in the metadata and in
     python -m fidm_tpu.cli.evaluate --data_dir test/ --mask_dir masks/ \
         --checkpoint distilled/student_4 --mean_type velocity \
         --timesteps $(cat distilled/student_4/grid.json | jq -r '.grid|join(" ")')
+
+--mode consistency (Song et al. 2023; measured 16x step cut at
+better-than-teacher quality on the toy, `examples/toy_consistency.py`):
+ONE training run produces ONE student that samples at ANY step count via
+`--preset consistency-1`/`consistency-2` (sampler method="consistency").
+The student (the EMA target network) lands in `--out/consistency/`:
+
+    python -m fidm_tpu.cli.distill --mode consistency --train_dir faces/ \
+        --checkpoint ckpts/ --out distilled/ --steps_per_round 20000
+
+    python -m fidm_tpu.cli.evaluate --data_dir test/ --mask_dir masks/ \
+        --checkpoint distilled/consistency --preset consistency-2
 
 No reference equivalent (the reference samples DDPM-1000/DDIM-100 only;
 beyond-reference capability per SURVEY §2 note on sampling cost).
@@ -37,6 +50,14 @@ def parse_args(argv=None):
                     "fewer sampling steps")
     p.add_argument("--config", default=None,
                    help="JSON file of argument defaults (CLI flags override)")
+    p.add_argument("--mode", default="progressive",
+                   choices=["progressive", "consistency"],
+                   help="progressive = step-halving ladder; consistency = "
+                        "one any-step-count student (1-2 step sampling)")
+    p.add_argument("--grid_size", type=int, default=40,
+                   help="consistency mode: training grid segments N")
+    p.add_argument("--ema_decay", type=float, default=0.95,
+                   help="consistency mode: target-network EMA decay")
     p.add_argument("--train_dir", required=True)
     p.add_argument("--mask_dir", default=None,
                    help="mask directory (omit to train on procedural masks)")
@@ -107,18 +128,21 @@ def main(argv=None):
     from ..training.lr import make_lr_schedule
 
     args = parse_args(argv)
-    if args.teacher_steps % args.final_steps != 0 or (
-        args.teacher_steps // args.final_steps
-    ) & (args.teacher_steps // args.final_steps - 1):
-        raise SystemExit("teacher_steps must be final_steps * 2^n")
-    from ..distill import distill_boundaries
+    if args.mode == "progressive":
+        if args.teacher_steps % args.final_steps != 0 or (
+            args.teacher_steps // args.final_steps
+        ) & (args.teacher_steps // args.final_steps - 1):
+            raise SystemExit("teacher_steps must be final_steps * 2^n")
+        from ..distill import distill_boundaries
 
-    bounds = distill_boundaries(args.diffusion_steps, args.teacher_steps)
-    if not np.all(np.diff(bounds) < 0):
-        raise SystemExit(
-            f"teacher_steps={args.teacher_steps} does not fit a "
-            f"{args.diffusion_steps}-step chain (duplicate timestep "
-            f"boundaries); use teacher_steps < diffusion_steps")
+        bounds = distill_boundaries(args.diffusion_steps, args.teacher_steps)
+        if not np.all(np.diff(bounds) < 0):
+            raise SystemExit(
+                f"teacher_steps={args.teacher_steps} does not fit a "
+                f"{args.diffusion_steps}-step chain (duplicate timestep "
+                f"boundaries); use teacher_steps < diffusion_steps")
+    elif args.grid_size >= args.diffusion_steps:
+        raise SystemExit("grid_size must be < diffusion_steps")
     if args.mask_dir is None and args.mask_mode != "procedural":
         print("no --mask_dir: switching to procedural mask generation")
         args.mask_mode = "procedural"
@@ -167,9 +191,50 @@ def main(argv=None):
     student_mt = ModelMeanType.from_name(args.student_mean_type)
     os.makedirs(args.out, exist_ok=True)
 
+    stream = batches()
+    if args.mode == "consistency":
+        from ..distill import make_consistency_step
+
+        cstate = TrainState.create(
+            apply_fn=None, params=teacher, ema_params=teacher,
+            tx=make_optimizer(
+                make_lr_schedule("cosine", args.lr, args.steps_per_round,
+                                 args.warmup_steps),
+                weight_decay=0.0, grad_clip=args.grad_clip,
+            ),
+        )
+        cstep = make_consistency_step(
+            sched, apply, apply, grid_size=args.grid_size,
+            teacher_mean_type=teacher_mt, student_mean_type=student_mt,
+            ema_decay=args.ema_decay, mesh=mesh,
+        )
+        last = {}
+        with mesh:
+            for i in range(args.steps_per_round):
+                cstate, last = cstep(cstate, teacher, next(stream), key)
+                if i % max(1, args.steps_per_round // 10) == 0:
+                    print(f"[consistency] step {i} "
+                          f"loss {float(last['loss']):.5f}", flush=True)
+        sdir = os.path.join(args.out, "consistency")
+        mgr = CheckpointManager(sdir, keep_last_n=1)
+        # the usable student is the EMA target network — save it AS the
+        # params so cli.evaluate --preset consistency-K works unflagged
+        mgr.save(0, jax.device_get(cstate.replace(params=cstate.ema_params)),
+                 metadata={
+                     "mode": "consistency",
+                     "mean_type": args.student_mean_type,
+                     "schedule": args.schedule,
+                     "diffusion_steps": args.diffusion_steps,
+                     "sampler_method": "consistency",
+                 })
+        mgr.close()
+        report = {"mode": "consistency", "final_loss": float(last["loss"]),
+                  "checkpoint": sdir, "out": args.out}
+        print(json.dumps(report))
+        return report
+
     report = {"rounds": [], "out": args.out}
     cur_params, cur_steps, cur_mt = teacher, args.teacher_steps, teacher_mt
-    stream = batches()
     with mesh:
         while cur_steps > args.final_steps:
             dstate = TrainState.create(

@@ -38,7 +38,7 @@ def parse_args(argv=None):
                         "| ddim-50-eta0.75 | ddim-100 | ddim-100-det | "
                         "ddim-20-fast | dpm-25 | dpm-20 | dpm-20-fast | "
                         "dpm-25-sde | dpm3-20 | dpm3-12 | repaint-250 | "
-                        "repaint-100-light")
+                        "repaint-100-light | consistency-1 | consistency-2")
     p.add_argument("--time_spacing", default=None,
                    choices=["uniform", "trailing", "lambda", "karras"],
                    help="how steps are placed on the chain (default: preset)")
@@ -67,12 +67,13 @@ def parse_args(argv=None):
     p.add_argument("--no_blend", action="store_true")
     p.add_argument("--injection_schedule", default="all",
                    choices=["all", "high", "low"])
-    p.add_argument("--mean_type", default="epsilon",
+    p.add_argument("--mean_type", default=None,
                    choices=["epsilon", "xstart", "velocity"],
                    help="model output parameterization (the reference "
                         "factory's predict_xstart flag, "
                         "utils/schedules.py:69-106; velocity = distilled "
-                        "students)")
+                        "students). Default: the preset's (epsilon for "
+                        "all but the consistency presets)")
     p.add_argument("--quantize", default="none", choices=["none", "int8"])
     p.add_argument("--encoder_cache", type=int, default=None,
                    help="UNet encoder-reuse period (Faster-Diffusion style); "
@@ -152,7 +153,8 @@ def main(argv=None):
 
     sampler = SAMPLER_PRESETS[args.preset]
     if args.ddim_timesteps is not None and sampler.method in (
-            "ddim", "dpm++2m", "dpm++2m-sde", "dpm++3m", "repaint"):
+            "ddim", "dpm++2m", "dpm++2m-sde", "dpm++3m", "repaint",
+            "consistency"):
         sampler = dataclasses.replace(sampler, num_steps=args.ddim_timesteps)
     if args.jump_length is not None:
         sampler = dataclasses.replace(sampler, jump_length=args.jump_length)
@@ -162,7 +164,10 @@ def main(argv=None):
         sampler = dataclasses.replace(sampler, eta=args.eta)
     from ..diffusion import ModelMeanType
 
-    mean_type = ModelMeanType.from_name(args.mean_type)
+    # None = keep the preset's parameterization (e.g. consistency presets
+    # are velocity); an explicit flag always wins
+    mean_type = (sampler.mean_type if args.mean_type is None
+                 else ModelMeanType.from_name(args.mean_type))
     sampler = dataclasses.replace(
         sampler,
         injection=not args.no_injection,

@@ -17,7 +17,7 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 
-from .diffusion import DiffusionSchedule
+from .diffusion import DiffusionSchedule, ModelMeanType
 from .models import InpaintingUNet, UNetConfig, ffhq256_config
 from .sampling import SamplerConfig, inpaint_sample
 
@@ -68,6 +68,17 @@ SAMPLER_PRESETS = {
     # warmup 1->2->3 and a first-order final step (sampler._dpm3m_tables)
     "dpm3-20": SamplerConfig(method="dpm++3m", num_steps=20, injection=True),
     "dpm3-12": SamplerConfig(method="dpm++3m", num_steps=12, injection=True),
+    # consistency-distilled students (distill/consistency.py, trained via
+    # `cli.distill --mode consistency`): 1-2 model evaluations per sample —
+    # the measured 16x step cut of examples/toy_consistency.py. Only
+    # meaningful with consistency-student weights (velocity-parameterized
+    # by default).
+    "consistency-2": SamplerConfig(method="consistency", num_steps=2,
+                                   injection=True,
+                                   mean_type=ModelMeanType.VELOCITY),
+    "consistency-1": SamplerConfig(method="consistency", num_steps=1,
+                                   injection=True,
+                                   mean_type=ModelMeanType.VELOCITY),
     # RePaint time-travel resampling (arXiv:2201.09865): the reference's
     # injection IS RePaint's conditioning step; these presets add the
     # resampling loop it lacks, harmonizing hole content with the known

@@ -47,7 +47,8 @@ __all__ = ["SamplerConfig", "inpaint_sample", "sample", "host_alphas_cumprod",
 
 @dataclasses.dataclass(frozen=True)
 class SamplerConfig:
-    method: str = "ddim"   # ddim | ddpm | dpm++2m | dpm++2m-sde | dpm++3m
+    # ddim | ddpm | dpm++2m | dpm++2m-sde | dpm++3m | repaint | consistency
+    method: str = "ddim"
     num_steps: Optional[int] = 100       # DDIM subset size; None = all T
     # explicit descending timestep grid (overrides num_steps) — used e.g.
     # to sample progressive-distillation students on their training grid
@@ -557,10 +558,11 @@ def inpaint_sample(
     """
     B = gt.shape[0]
     if cond_fn is not None and cfg.method in ("dpm++2m", "dpm++2m-sde",
-                                          "dpm++3m"):
+                                          "dpm++3m", "consistency"):
         raise ValueError(
             "classifier guidance (cond_fn) is defined for ddim/ddpm/repaint; "
-            "the DPM-Solver++ update has no reference-guided form")
+            "the DPM-Solver++/consistency updates have no reference-guided "
+            "form")
     keep = (1.0 - mask).astype(gt.dtype)
     masked_image = gt * keep  # model conditioning (test_inpainting_better.py:387-390)
 
@@ -682,6 +684,28 @@ def inpaint_sample(
                      + s["c2"] * d1 - s["c3"] * d2)
             return x_new, (pred_x0, m1)
 
+    elif cfg.method == "consistency":
+        # multistep consistency sampling (Song et al. 2023, Alg. 1, VP
+        # form) for consistency-distilled students (distill/consistency.py):
+        # each step maps straight to x0 under the student's mean-type, then
+        # renoises to the next grid level. The DDIM tables already carry
+        # both coefficients — sqrt_a_prev for the renoise scale and
+        # sqrt(1 - a_prev) (= inject_sqrt_1ma) for its std, which is 0 on
+        # the final step so the scan ends exactly at the x0 prediction.
+        xs = _to_device_xs(
+            _ddim_tables(sched, dataclasses.replace(cfg, eta=0.0)))
+
+        def update(x, aux, s, out):
+            raw = out[..., :3]
+            pred_x0, _ = _x0_eps_from_raw(raw, x, s, cfg)
+            if cfg.clip_denoised:
+                pred_x0 = jnp.clip(pred_x0, -1.0, 1.0)
+            noise = jax.random.normal(
+                jax.random.fold_in(step_key, s["step"]), x.shape, x.dtype
+            )
+            return (s["sqrt_a_prev"] * pred_x0
+                    + s["inject_sqrt_1ma"] * noise), aux
+
     else:
         raise ValueError(f"unknown method: {cfg.method}")
 
@@ -765,10 +789,11 @@ def sample(
     `ddim_sample` at :357-485) for methods ddim/ddpm/repaint.
     """
     if cond_fn is not None and cfg.method in ("dpm++2m", "dpm++2m-sde",
-                                          "dpm++3m"):
+                                          "dpm++3m", "consistency"):
         raise ValueError(
             "classifier guidance (cond_fn) is defined for ddim/ddpm/repaint; "
-            "the DPM-Solver++ update has no reference-guided form")
+            "the DPM-Solver++/consistency updates have no reference-guided "
+            "form")
     init_key, step_key = jax.random.split(key)
     x = x_init if x_init is not None else jax.random.normal(init_key, shape)
     B = shape[0]
@@ -873,6 +898,22 @@ def sample(
             x_new = (s["coef_x"] * x + s["phi1"] * pred_x0
                      + s["c2"] * d1 - s["c3"] * d2)
             return x_new, (pred_x0, m1)
+
+    elif cfg.method == "consistency":
+        # multistep consistency sampling — see inpaint_sample's branch
+        xs = _to_device_xs(
+            _ddim_tables(sched, dataclasses.replace(cfg, eta=0.0)))
+
+        def update(x, aux, s, out):
+            raw, _ = gd.split_model_output(out, cfg.var_type)
+            pred_x0, _ = _x0_eps_from_raw(raw, x, s, cfg)
+            if cfg.clip_denoised:
+                pred_x0 = jnp.clip(pred_x0, -1.0, 1.0)
+            noise = jax.random.normal(
+                jax.random.fold_in(step_key, s["step"]), x.shape, x.dtype
+            )
+            return (s["sqrt_a_prev"] * pred_x0
+                    + s["inject_sqrt_1ma"] * noise), aux
 
     else:
         raise ValueError(f"unknown method: {cfg.method}")
