@@ -164,10 +164,29 @@ def main(argv=None):
         sampler = dataclasses.replace(sampler, eta=args.eta)
     from ..diffusion import ModelMeanType
 
-    # None = keep the preset's parameterization (e.g. consistency presets
-    # are velocity); an explicit flag always wins
-    mean_type = (sampler.mean_type if args.mean_type is None
-                 else ModelMeanType.from_name(args.mean_type))
+    # parameterization resolution: explicit flag > checkpoint metadata
+    # (cli.train / cli.distill record mean_type) > preset default — so a
+    # velocity- or epsilon-trained checkpoint is decoded correctly without
+    # the user restating what the training run already knew
+    meta_mt = None
+    if args.mean_type is None and args.checkpoint and os.path.isdir(
+            args.checkpoint):
+        from ..training import CheckpointManager as _CM
+
+        _mgr = _CM(args.checkpoint)
+        _meta = _mgr.restore_metadata(
+            "best" if os.path.isdir(os.path.join(args.checkpoint, "best"))
+            else "latest")
+        _mgr.close()
+        if _meta and _meta.get("mean_type"):
+            meta_mt = _meta["mean_type"]
+            print(f"mean_type '{meta_mt}' from checkpoint metadata")
+    if args.mean_type is not None:
+        mean_type = ModelMeanType.from_name(args.mean_type)
+    elif meta_mt is not None:
+        mean_type = ModelMeanType.from_name(meta_mt)
+    else:
+        mean_type = sampler.mean_type
     sampler = dataclasses.replace(
         sampler,
         injection=not args.no_injection,

@@ -238,6 +238,8 @@ def main(argv=None):
     meta = {
         "schedule": args.schedule, "diffusion_steps": args.diffusion_steps,
         "image_size": args.image_size, "lr": args.lr,
+        # lets cli.evaluate pick the right decoding without a flag
+        "mean_type": args.mean_type,
     }
     with mesh:
         state, history = fit(

@@ -7,6 +7,7 @@ FIDM_TPU_PALLAS environment variable ("0"/"1").
 """
 from __future__ import annotations
 
+import contextlib
 import os
 from typing import Dict, Optional
 
@@ -35,3 +36,18 @@ def use_pallas(op: str) -> bool:
     if _global_override is not None:
         return _global_override
     return jax.default_backend() == "tpu"
+
+
+@contextlib.contextmanager
+def pallas_override(value: Optional[bool], op: str):
+    """Scoped per-op override: set for the duration of the block, then
+    restore whatever was there before. Use around jit tracing when a
+    specific program must avoid a kernel (e.g. TP-sharded programs cannot
+    partition the opaque Pallas attention custom call) without mutating
+    process-global state for every other model in the process."""
+    prev = _overrides.get(op)
+    _overrides[op] = value
+    try:
+        yield
+    finally:
+        _overrides[op] = prev

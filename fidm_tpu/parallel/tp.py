@@ -39,10 +39,11 @@ Everything else (time embed, first/last convs, skip convs, up/down convs)
 is replicated; activations are replicated at every block boundary.
 
 NOTE (real multi-chip TPU): the Pallas attention kernel is an opaque custom
-call that the SPMD partitioner cannot split; run TP programs with the XLA
-attention fallback (`ops.registry.set_use_pallas(False, "attention")` —
-`InpaintingPipeline(tp_params=True)` does this automatically). Attention is
-~0.2% of a UNet step here (BENCH.md), so nothing is lost.
+call that the SPMD partitioner cannot split; trace TP programs under the
+scoped XLA-attention override — `with ops.registry.pallas_override(False,
+"attention"): step(...)` (InpaintingPipeline(tp_params=True) does this
+around its own jit calls). Attention is ~0.2% of a UNet step here
+(BENCH.md), so nothing is lost.
 """
 from __future__ import annotations
 

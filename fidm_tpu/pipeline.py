@@ -170,13 +170,11 @@ class InpaintingPipeline:
                 "tp_params/shard_spatial need a mesh with a 'model' axis "
                 "(parallel.create_mesh(model=k))"
             )
-        if (tp_params or shard_spatial) and mesh is not None:
-            # the Pallas attention kernel is an opaque custom call the SPMD
-            # partitioner cannot split across "model"-axis shardings; use
-            # the XLA fallback (attention is ~0.2% of a step, BENCH.md)
-            from .ops.registry import set_use_pallas
-
-            set_use_pallas(False, "attention")
+        # TP/spatial programs cannot partition the opaque Pallas attention
+        # custom call; their jit traces run under a scoped XLA-attention
+        # override (see _call_sharded) — attention is ~0.2% of a step
+        # (BENCH.md), and other models in the process are unaffected.
+        self._xla_attention = tp_params or shard_spatial
         if mesh is not None:
             if tp_params:
                 # Megatron column/row channel sharding (parallel/tp.py):
@@ -273,7 +271,13 @@ class InpaintingPipeline:
                 return aot(self.variables, gt, mask, key)
         if cache_key not in self._jitted:
             self._jitted[cache_key] = self._make_jit(cfg, cond_fn)
-        return self._jitted[cache_key](self.variables, gt, mask, key)
+        fn = self._jitted[cache_key]
+        if self._xla_attention:
+            from .ops.registry import pallas_override
+
+            with pallas_override(False, "attention"):  # scoped to the trace
+                return fn(self.variables, gt, mask, key)
+        return fn(self.variables, gt, mask, key)
 
     def _make_jit(self, cfg: SamplerConfig, cond_fn=None):
         """The jitted sampling program for one SamplerConfig (+ optional
@@ -338,6 +342,12 @@ class InpaintingPipeline:
         execution) — feed to `serving.aot.save_programs` for persistence."""
         cfg = sampler or self.config.sampler
         gt, mask, key = self.example_inputs(batch)
+        if self._xla_attention:
+            from .ops.registry import pallas_override
+
+            with pallas_override(False, "attention"):
+                return self._make_jit(cfg).lower(self.variables, gt, mask,
+                                                 key).compile()
         return self._make_jit(cfg).lower(self.variables, gt, mask,
                                          key).compile()
 

@@ -121,6 +121,18 @@ def _respaced_seq(sched: DiffusionSchedule, cfg: SamplerConfig,
     return timestep_sequence(T, K, cfg.time_spacing, alphas_cumprod=acp)
 
 
+def _consistency_seq(sched: DiffusionSchedule, cfg: SamplerConfig) -> tuple:
+    """The K-evaluation grid for method="consistency": the first K of
+    `distill.consistency_grid`'s K+1 boundaries (the last boundary, 0, is
+    only ever a renoise target). An explicit cfg.timesteps wins."""
+    if cfg.timesteps is not None:
+        return cfg.timesteps
+    from ..distill.consistency import consistency_grid
+
+    K = cfg.num_steps or sched.num_timesteps
+    return tuple(int(t) for t in consistency_grid(sched.num_timesteps, K)[:K])
+
+
 def _ddim_tables(sched: DiffusionSchedule, cfg: SamplerConfig):
     """Per-step float64 coefficient tables for the respaced DDIM loop."""
     T = sched.num_timesteps
@@ -692,8 +704,13 @@ def inpaint_sample(
         # both coefficients — sqrt_a_prev for the renoise scale and
         # sqrt(1 - a_prev) (= inject_sqrt_1ma) for its std, which is 0 on
         # the final step so the scan ends exactly at the x0 prediction.
+        # num_steps=K means exactly K model evaluations: the grid is the
+        # first K of distill.consistency_grid's K+1 boundaries (NOT the
+        # uniform DDIM respacing, which appends an extra t=0 row the
+        # student never trains on — consistency_sample parity).
         xs = _to_device_xs(
-            _ddim_tables(sched, dataclasses.replace(cfg, eta=0.0)))
+            _ddim_tables(sched, dataclasses.replace(
+                cfg, eta=0.0, timesteps=_consistency_seq(sched, cfg))))
 
         def update(x, aux, s, out):
             raw = out[..., :3]
@@ -902,7 +919,8 @@ def sample(
     elif cfg.method == "consistency":
         # multistep consistency sampling — see inpaint_sample's branch
         xs = _to_device_xs(
-            _ddim_tables(sched, dataclasses.replace(cfg, eta=0.0)))
+            _ddim_tables(sched, dataclasses.replace(
+                cfg, eta=0.0, timesteps=_consistency_seq(sched, cfg))))
 
         def update(x, aux, s, out):
             raw, _ = gd.split_model_output(out, cfg.var_type)

@@ -173,5 +173,30 @@ class CheckpointManager:
                 return ema
         return state["params"]
 
+    def restore_metadata(self, which: str = "latest") -> Optional[dict]:
+        """The JSON metadata dict saved alongside a checkpoint, or None.
+
+        Lets consumers (e.g. cli.evaluate) recover training-time facts the
+        parameter tree cannot express — mean_type parameterization,
+        schedule, distillation mode — without restoring any arrays."""
+        import orbax.checkpoint as ocp
+
+        if which == "best":
+            try:
+                with open(self._marker_path()) as f:
+                    return json.load(f)
+            except OSError:
+                return None
+        step = self.latest_step() if which == "latest" else int(which)
+        if step is None:
+            return None
+        try:
+            restored = self._mgr.restore(
+                step, args=ocp.args.Composite(meta=ocp.args.JsonRestore())
+            )
+            return restored["meta"]
+        except Exception:  # older checkpoints may carry no meta item
+            return None
+
     def close(self):
         self._mgr.close()

@@ -511,8 +511,10 @@ def test_distill_cli_procedural_masks_when_mask_dir_omitted(data_tree,
 
 def test_distill_cli_consistency_mode(data_tree, tmp_path):
     """--mode consistency: one run, one any-step-count student; evaluate it
-    with the consistency-2 preset (velocity mean-type comes from the preset,
-    no --mean_type flag needed)."""
+    with the consistency-2 preset at its real 2-evaluation grid (velocity
+    mean-type comes from the checkpoint metadata/preset, no --mean_type
+    flag needed; --ddim_timesteps 2 pins the step count quick_test would
+    otherwise raise to 10)."""
     from fidm_tpu.cli.distill import main as distill_main
     from fidm_tpu.cli.evaluate import main as eval_main
     from fidm_tpu.cli.train import main as train_main
@@ -536,39 +538,7 @@ def test_distill_cli_consistency_mode(data_tree, tmp_path):
     results = eval_main([
         "--data_dir", img_dir, "--mask_dir", mask_dir,
         "--output_dir", str(tmp_path / "eval_cd"), "--quick_test",
-        "--diffusion_steps", "50", "--checkpoint", report["checkpoint"],
-        "--preset", "consistency-2", "--no_save_images", *TINY_MODEL,
-    ])
-    assert np.isfinite(results["ssim_mean"])
-
-
-def test_distill_cli_consistency_mode(data_tree, tmp_path):
-    """--mode consistency: one run, one any-step-count student; evaluate it
-    with the consistency-2 preset (velocity mean-type comes from the preset,
-    no --mean_type flag needed)."""
-    from fidm_tpu.cli.distill import main as distill_main
-    from fidm_tpu.cli.evaluate import main as eval_main
-    from fidm_tpu.cli.train import main as train_main
-
-    img_dir, mask_dir = data_tree
-    ckpt_dir = str(tmp_path / "teacher")
-    out_dir = str(tmp_path / "distilled")
-    train_main([
-        "--train_dir", img_dir, "--val_dir", img_dir, "--mask_dir", mask_dir,
-        "--checkpoint_dir", ckpt_dir, "--batch_size", "2",
-        "--num_epochs", "1", "--diffusion_steps", "50", *TINY_MODEL,
-    ])
-    report = distill_main([
-        "--mode", "consistency", "--train_dir", img_dir,
-        "--mask_dir", mask_dir, "--checkpoint", ckpt_dir, "--out", out_dir,
-        "--steps_per_round", "3", "--grid_size", "8", "--batch_size", "2",
-        "--diffusion_steps", "50", *TINY_MODEL,
-    ])
-    assert report["mode"] == "consistency"
-    assert np.isfinite(report["final_loss"])
-    results = eval_main([
-        "--data_dir", img_dir, "--mask_dir", mask_dir,
-        "--output_dir", str(tmp_path / "eval_cd"), "--quick_test",
+        "--ddim_timesteps", "2",
         "--diffusion_steps", "50", "--checkpoint", report["checkpoint"],
         "--preset", "consistency-2", "--no_save_images", *TINY_MODEL,
     ])

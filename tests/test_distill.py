@@ -327,41 +327,18 @@ def test_sampler_consistency_method_perfect_model():
         assert p.mean_type == ModelMeanType.VELOCITY
     assert SAMPLER_PRESETS["consistency-1"].num_steps == 1
 
+    # num_steps=K must mean exactly K model evaluations: the grid is the
+    # first K consistency_grid boundaries, NOT the uniform DDIM respacing
+    # (which appends a t=0 row the student never trains on)
+    from fidm_tpu.distill import consistency_grid
+    from fidm_tpu.sampling.sampler import _consistency_seq
 
-def test_sampler_consistency_method_perfect_model():
-    """method="consistency" through the unified sampler: a perfect v-model
-    recovers x0 at 1 and 2 steps, preserves known pixels, and the preset
-    configs are wired."""
-    from fidm_tpu.pipeline import SAMPLER_PRESETS
-    from fidm_tpu.sampling import SamplerConfig, inpaint_sample
-
-    x0 = jnp.clip(
-        jax.random.normal(jax.random.PRNGKey(0), (2, 8, 8, 3)) * 0.5, -1, 1
-    )
-    acp = SCHED.sqrt_alphas_cumprod
-    s1m = SCHED.sqrt_one_minus_alphas_cumprod
-
-    def apply_fn(x, t, mi, m):
-        a = acp[t][:, None, None, None]
-        s = s1m[t][:, None, None, None]
-        v = (a * x - x0) / s
-        return jnp.concatenate([v, jnp.zeros_like(v)], axis=-1)
-
-    mask = jnp.zeros((2, 8, 8, 1)).at[:, 2:6, 2:6].set(1.0)
-    for steps in (1, 2):
-        cfg = SamplerConfig(method="consistency", num_steps=steps,
-                            injection=True,
-                            mean_type=ModelMeanType.VELOCITY)
-        out = inpaint_sample(apply_fn, SCHED, cfg, gt=x0, mask=mask,
-                             key=jax.random.PRNGKey(1))
-        np.testing.assert_allclose(np.asarray(out), np.asarray(x0),
-                                   atol=5e-3)
-        keep = np.asarray(mask[..., 0]) < 0.5
-        np.testing.assert_array_equal(np.asarray(out)[keep],
-                                      np.asarray(x0)[keep])
-
-    for name in ("consistency-1", "consistency-2"):
-        p = SAMPLER_PRESETS[name]
-        assert p.method == "consistency"
-        assert p.mean_type == ModelMeanType.VELOCITY
-    assert SAMPLER_PRESETS["consistency-1"].num_steps == 1
+    T = SCHED.num_timesteps
+    for K in (1, 2, 4):
+        seq = _consistency_seq(
+            SCHED, SamplerConfig(method="consistency", num_steps=K))
+        assert len(seq) == K
+        assert list(seq) == [int(t) for t in consistency_grid(T, K)[:K]]
+    assert _consistency_seq(
+        SCHED, SamplerConfig(method="consistency", num_steps=1)
+    )[0] == T - 1
