@@ -27,6 +27,9 @@ def main():
     p.add_argument("--concurrency", type=int, default=16)
     p.add_argument("--steps", type=int, default=100)
     p.add_argument("--method", default="ddim", choices=["ddim", "ddpm", "dpm++2m", "dpm++2m-sde", "dpm++3m"])
+    p.add_argument("--preset", default=None,
+                   help="a SAMPLER_PRESETS name (e.g. consistency-1) — "
+                        "overrides --method/--steps")
     p.add_argument("--batch_size", type=int, default=8)
     p.add_argument("--port", type=int, default=8571)
     args = p.parse_args()
@@ -42,8 +45,14 @@ def main():
     from fidm_tpu.serving.server import _make_handler
     from http.server import ThreadingHTTPServer
 
-    cfg = PipelineConfig(sampler=SamplerConfig(
-        method=args.method, num_steps=args.steps, eta=0.9, injection=True))
+    if args.preset is not None:
+        from fidm_tpu.pipeline import SAMPLER_PRESETS
+
+        sampler = SAMPLER_PRESETS[args.preset]
+    else:
+        sampler = SamplerConfig(method=args.method, num_steps=args.steps,
+                                eta=0.9, injection=True)
+    cfg = PipelineConfig(sampler=sampler)
     pipe = InpaintingPipeline.create(cfg)
     S = cfg.unet.image_size
 
