@@ -8,6 +8,9 @@ teacher needs 16 for — without progressive's ladder of 3 separate
 distillation rounds? Scored by proxy-FID against a large real set.
 
 Run (TPU, ~15-25 min): python examples/toy_consistency.py
+With --ct: consistency TRAINING instead — the student starts from RANDOM
+init and never evaluates a teacher (paper Alg. 3); the teacher is still
+trained for the baseline rows only (~25-35 min).
 """
 import os
 import sys
@@ -42,6 +45,16 @@ N_REAL = 2048
 
 
 def main():
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--ct", action="store_true",
+                    help="consistency TRAINING (no teacher, random init)")
+    ap.add_argument("--steps", type=int, default=None,
+                    help="distill/training steps (default: 3000 CD, 6000 CT)")
+    cli = ap.parse_args()
+    cd_steps = cli.steps or (6000 if cli.ct else CD_STEPS)
+
     key = jax.random.PRNGKey(0)
     sched = DiffusionSchedule.create("cosine", T)
     model = InpaintingUNet(CFG)
@@ -64,31 +77,38 @@ def main():
     def apply(params, x, t, mi, m):
         return model.apply({"params": params}, x, t, mi, m)
 
-    # ---- consistency distillation: ONE student for every step count ----
+    # ---- consistency distillation (or, with --ct, consistency TRAINING:
+    # random init, no teacher evaluations): ONE student, every step count ----
+    if cli.ct:
+        init = model.init(jax.random.PRNGKey(99), b0["image"],
+                          jnp.zeros((1,), jnp.int32), b0["masked_image"],
+                          b0["mask"])["params"]
+    else:
+        init = teacher
     cd_state = TrainState.create(
-        apply_fn=None, params=teacher, ema_params=teacher,
+        apply_fn=None, params=init, ema_params=init,
         tx=make_optimizer(
-            make_lr_schedule("cosine", 1e-4, CD_STEPS, 50), weight_decay=0.0),
+            make_lr_schedule("cosine", 1e-4, cd_steps, 50), weight_decay=0.0),
     )
     cd_step = make_consistency_step(
-        sched, apply, apply, grid_size=40,
+        sched, None if cli.ct else apply, apply, grid_size=40,
         teacher_mean_type=ModelMeanType.VELOCITY,
         student_mean_type=ModelMeanType.VELOCITY,
         ema_decay=0.95,
     )
     t0 = time.time()
-    for i in range(CD_STEPS):
+    for i in range(cd_steps):
         cd_state, cm = cd_step(
-            cd_state, teacher,
+            cd_state, None if cli.ct else teacher,
             synth_batch(jax.random.fold_in(key, 777_000 + i), BATCH),
             jax.random.PRNGKey(2),
         )
         if (i + 1) % 1000 == 0:
-            print(f"  cd step {i+1}: loss={float(cm['loss']):.5f}",
-                  flush=True)
+            print(f"  {'ct' if cli.ct else 'cd'} step {i+1}: "
+                  f"loss={float(cm['loss']):.5f}", flush=True)
     student = cd_state.ema_params  # the target network is the sampler
-    print(f"consistency-distilled: loss={float(cm['loss']):.5f} "
-          f"({time.time()-t0:.0f}s)", flush=True)
+    print(f"{'consistency-trained' if cli.ct else 'consistency-distilled'}: "
+          f"loss={float(cm['loss']):.5f} ({time.time()-t0:.0f}s)", flush=True)
 
     # ---- distributional evaluation: proxy-FID, same yardstick ----
     extractor = RandomConvFeatureExtractor(image_size=S)
@@ -129,13 +149,14 @@ def main():
             feats.append(extractor(np.asarray((jnp.clip(out, -1, 1) + 1) / 2)))
         return fid_from_features(real_feats, np.concatenate(feats))
 
+    tag = "ct-student" if cli.ct else "cd-student"
     results = {
         "teacher@16 (ddim)": teacher_fid(16, 1),
         "teacher@2 (ddim)": teacher_fid(2, 2),
         "teacher@1 (ddim)": teacher_fid(1, 3),
-        "cd-student@4": student_fid(4, 4),
-        "cd-student@2": student_fid(2, 5),
-        "cd-student@1": student_fid(1, 6),
+        f"{tag}@4": student_fid(4, 4),
+        f"{tag}@2": student_fid(2, 5),
+        f"{tag}@1": student_fid(1, 6),
     }
     for k, fid in results.items():
         print(f"proxy-FID {k}: {fid:.2f}", flush=True)
@@ -143,10 +164,11 @@ def main():
     assert np.isfinite(list(results.values())).all()
     ref = results["teacher@16 (ddim)"]
     gap_naive = results["teacher@1 (ddim)"] - ref
-    gap_cd = results["cd-student@1"] - ref
+    gap_cd = results[f"{tag}@1"] - ref
     print(f"teacher@1 degradation: +{gap_naive:.2f} proxy-FID; "
-          f"cd-student@1: +{gap_cd:.2f}")
-    print("CONSISTENCY DISTILLATION" + (
+          f"{tag}@1: +{gap_cd:.2f}")
+    print(("CONSISTENCY TRAINING" if cli.ct else
+           "CONSISTENCY DISTILLATION") + (
         " SEPARATION DEMONSTRATED"
         if gap_naive > 0.5 and gap_cd < 0.5 * gap_naive
         else " RESULT RECORDED (see numbers above)"))

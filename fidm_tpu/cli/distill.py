@@ -51,9 +51,13 @@ def parse_args(argv=None):
     p.add_argument("--config", default=None,
                    help="JSON file of argument defaults (CLI flags override)")
     p.add_argument("--mode", default="progressive",
-                   choices=["progressive", "consistency"],
+                   choices=["progressive", "consistency",
+                            "consistency-training"],
                    help="progressive = step-halving ladder; consistency = "
-                        "one any-step-count student (1-2 step sampling)")
+                        "one any-step-count student (1-2 step sampling); "
+                        "consistency-training = the same student WITHOUT a "
+                        "teacher (paper Alg. 3; --checkpoint optional, used "
+                        "only as init)")
     p.add_argument("--grid_size", type=int, default=40,
                    help="consistency mode: training grid segments N")
     p.add_argument("--ema_decay", type=float, default=0.95,
@@ -61,8 +65,10 @@ def parse_args(argv=None):
     p.add_argument("--train_dir", required=True)
     p.add_argument("--mask_dir", default=None,
                    help="mask directory (omit to train on procedural masks)")
-    p.add_argument("--checkpoint", required=True,
-                   help="teacher: torch .pt or orbax checkpoint dir")
+    p.add_argument("--checkpoint", default=None,
+                   help="teacher: torch .pt or orbax checkpoint dir "
+                        "(required except for --mode consistency-training, "
+                        "where it is an optional init)")
     p.add_argument("--out", default="distilled")
     p.add_argument("--teacher_steps", type=int, default=16,
                    help="starting DDIM step count (must be a power of 2 "
@@ -143,6 +149,10 @@ def main(argv=None):
                 f"boundaries); use teacher_steps < diffusion_steps")
     elif args.grid_size >= args.diffusion_steps:
         raise SystemExit("grid_size must be < diffusion_steps")
+    if args.checkpoint is None and args.mode != "consistency-training":
+        raise SystemExit(
+            f"--checkpoint is required for --mode {args.mode} (only "
+            "consistency-training can start from random init)")
     if args.mask_dir is None and args.mask_mode != "procedural":
         print("no --mask_dir: switching to procedural mask generation")
         args.mask_mode = "procedural"
@@ -159,7 +169,12 @@ def main(argv=None):
     model = InpaintingUNet(cfg)
     sched = DiffusionSchedule.create(args.schedule, args.diffusion_steps)
 
-    if os.path.isdir(args.checkpoint):
+    if args.checkpoint is None:  # consistency-training from random init
+        S = args.image_size
+        zx = jnp.zeros((1, S, S, 3))
+        teacher = model.init(key, zx, jnp.zeros((1,), jnp.int32), zx,
+                             jnp.ones((1, S, S, 1)))["params"]
+    elif os.path.isdir(args.checkpoint):
         teacher = CheckpointManager(args.checkpoint).restore_params(
             "latest", prefer_ema=args.use_ema)
     else:
@@ -192,9 +207,10 @@ def main(argv=None):
     os.makedirs(args.out, exist_ok=True)
 
     stream = batches()
-    if args.mode == "consistency":
+    if args.mode in ("consistency", "consistency-training"):
         from ..distill import make_consistency_step
 
+        ct = args.mode == "consistency-training"
         cstate = TrainState.create(
             apply_fn=None, params=teacher, ema_params=teacher,
             tx=make_optimizer(
@@ -204,16 +220,17 @@ def main(argv=None):
             ),
         )
         cstep = make_consistency_step(
-            sched, apply, apply, grid_size=args.grid_size,
+            sched, None if ct else apply, apply, grid_size=args.grid_size,
             teacher_mean_type=teacher_mt, student_mean_type=student_mt,
             ema_decay=args.ema_decay, mesh=mesh,
         )
         last = {}
         with mesh:
             for i in range(args.steps_per_round):
-                cstate, last = cstep(cstate, teacher, next(stream), key)
+                cstate, last = cstep(cstate, None if ct else teacher,
+                                     next(stream), key)
                 if i % max(1, args.steps_per_round // 10) == 0:
-                    print(f"[consistency] step {i} "
+                    print(f"[{args.mode}] step {i} "
                           f"loss {float(last['loss']):.5f}", flush=True)
         sdir = os.path.join(args.out, "consistency")
         mgr = CheckpointManager(sdir, keep_last_n=1)
@@ -221,14 +238,14 @@ def main(argv=None):
         # params so cli.evaluate --preset consistency-K works unflagged
         mgr.save(0, jax.device_get(cstate.replace(params=cstate.ema_params)),
                  metadata={
-                     "mode": "consistency",
+                     "mode": args.mode,
                      "mean_type": args.student_mean_type,
                      "schedule": args.schedule,
                      "diffusion_steps": args.diffusion_steps,
                      "sampler_method": "consistency",
                  })
         mgr.close()
-        report = {"mode": "consistency", "final_loss": float(last["loss"]),
+        report = {"mode": args.mode, "final_loss": float(last["loss"]),
                   "checkpoint": sdir, "out": args.out}
         print(json.dumps(report))
         return report

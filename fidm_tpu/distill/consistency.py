@@ -24,7 +24,9 @@ deterministic teacher DDIM step down to x_hat_{t_n}, and pull
 f_theta(x_{t_n+1}) toward f_{theta^-}(x_hat_{t_n}) where theta^- is an EMA
 "target network" (carried in `TrainState.ema_params`). Distance is the
 pseudo-huber metric by default (sqrt(||.||^2 + c^2) - c), which the
-improved-techniques paper shows dominates plain L2.
+improved-techniques paper shows dominates plain L2. With
+`teacher_apply=None` the same step runs consistency TRAINING (Algorithm 3:
+x_{t_n} comes from the data with the same noise draw — no teacher needed).
 
 The reference has no distillation of any kind; its only acceleration is
 first-order DDIM step subsetting (`test_inpainting_better.py:395-408`).
@@ -73,7 +75,7 @@ def consistency_x0(
 
 def make_consistency_step(
     sched: DiffusionSchedule,
-    teacher_apply: Callable,
+    teacher_apply: Optional[Callable],
     student_apply: Callable,
     *,
     grid_size: int = 40,
@@ -85,12 +87,19 @@ def make_consistency_step(
     clip_denoised: bool = True,
     mesh=None,
 ):
-    """Build the jitted consistency-distillation train step.
+    """Build the jitted consistency train step (distillation or training).
 
     teacher_apply/student_apply: (params, x, t[B], masked_image, mask) ->
     model output. The student state MUST carry `ema_params` (the target
     network theta^-, usually initialized to the same teacher weights);
     the step returns it updated with `ema_decay`.
+
+    With `teacher_apply=None` this becomes consistency TRAINING (the
+    paper's Algorithm 3 — no teacher at all): the adjacent-level pair
+    (x_{t_n+1}, x_{t_n}) is built from the data sample itself with a
+    SHARED noise draw (the single-sample score estimate), so a 1-2 step
+    generator trains from scratch. Pass anything (e.g. None) as
+    `teacher_params` in that mode.
 
     Returns step(student_state, teacher_params, batch, key) ->
     (student_state, metrics). `batch` = {image, masked_image, mask}.
@@ -135,9 +144,15 @@ def make_consistency_step(
         noise = jax.random.normal(noise_key, x_start.shape, x_start.dtype)
         x_t = gd.q_sample(sched, x_start, t0, noise)
 
-        x_hat = jax.lax.stop_gradient(
-            teacher_ddim_step(teacher_params, x_t, t0, t1, cond)
-        )
+        if teacher_apply is None:
+            # consistency training: the lower-level point reuses the SAME
+            # noise (x and x_hat sit on the same single-sample trajectory
+            # estimate) — no model evaluation
+            x_hat = gd.q_sample(sched, x_start, t1, noise)
+        else:
+            x_hat = jax.lax.stop_gradient(
+                teacher_ddim_step(teacher_params, x_t, t0, t1, cond)
+            )
         raw_tgt = student_apply(state.ema_params, x_hat, t1, *cond)
         target = jax.lax.stop_gradient(
             consistency_x0(sched, raw_tgt, x_hat, t1,

@@ -543,3 +543,26 @@ def test_distill_cli_consistency_mode(data_tree, tmp_path):
         "--preset", "consistency-2", "--no_save_images", *TINY_MODEL,
     ])
     assert np.isfinite(results["ssim_mean"])
+
+
+def test_distill_cli_consistency_training_from_scratch(data_tree, tmp_path):
+    """--mode consistency-training needs no --checkpoint (random init, no
+    teacher evals); other modes still require one."""
+    from fidm_tpu.cli.distill import main as distill_main
+
+    img_dir, mask_dir = data_tree
+    with pytest.raises(SystemExit, match="required"):
+        distill_main([
+            "--train_dir", img_dir, "--mask_dir", mask_dir,
+            "--out", str(tmp_path / "x"), "--diffusion_steps", "50",
+            *TINY_MODEL,
+        ])
+    report = distill_main([
+        "--mode", "consistency-training", "--train_dir", img_dir,
+        "--mask_dir", mask_dir, "--out", str(tmp_path / "ct"),
+        "--steps_per_round", "3", "--grid_size", "8", "--batch_size", "2",
+        "--diffusion_steps", "50", *TINY_MODEL,
+    ])
+    assert report["mode"] == "consistency-training"
+    assert np.isfinite(report["final_loss"])
+    assert os.path.isdir(report["checkpoint"])

@@ -342,3 +342,70 @@ def test_sampler_consistency_method_perfect_model():
     assert _consistency_seq(
         SCHED, SamplerConfig(method="consistency", num_steps=1)
     )[0] == T - 1
+
+
+def test_consistency_training_no_teacher_zero_loss_and_runs():
+    """teacher_apply=None (consistency TRAINING): the pair is built from
+    data with a shared noise draw — a student/target already predicting the
+    true x0 has ~zero loss, and the step runs without any teacher params."""
+    from fidm_tpu.distill import make_consistency_step
+    from fidm_tpu.training import TrainState
+
+    x0_true = jnp.clip(
+        jax.random.normal(jax.random.PRNGKey(3), (4, 8, 8, 3)) * 0.4, -1, 1
+    )
+    acp = SCHED.sqrt_alphas_cumprod
+    s1m = SCHED.sqrt_one_minus_alphas_cumprod
+
+    def student_apply(params, x, t, mi, m):
+        a = acp[t][:, None, None, None]
+        s = s1m[t][:, None, None, None]
+        return (a * x - x0_true * (1 + params["b"])) / s
+
+    state = TrainState.create(
+        apply_fn=None, params={"b": jnp.zeros(())},
+        ema_params={"b": jnp.zeros(())}, tx=optax.sgd(0.0),
+    )
+    step = make_consistency_step(
+        SCHED, None, student_apply, grid_size=10, clip_denoised=False,
+    )
+    batch = {
+        "image": x0_true,
+        "masked_image": x0_true,
+        "mask": jnp.zeros((4, 8, 8, 1)),
+    }
+    _, metrics = step(state, None, batch, jax.random.PRNGKey(0))
+    assert float(metrics["loss"]) < 1e-4
+
+    # and with a real tiny model from random init: finite, decreasing-ish
+    from fidm_tpu.models import InpaintingUNet, UNetConfig
+    from fidm_tpu.training import make_optimizer
+
+    cfg = UNetConfig(
+        image_size=8, in_channels=9, model_channels=32, out_channels=6,
+        num_res_blocks=1, attention_resolutions=(2,), channel_mult=(1, 2),
+        num_heads=1, num_head_channels=32, dtype=jnp.float32,
+    )
+    model = InpaintingUNet(cfg)
+    key = jax.random.PRNGKey(0)
+    x = jnp.zeros((1, 8, 8, 3))
+    params = model.init(key, x, jnp.zeros((1,), jnp.int32), x,
+                        jnp.ones((1, 8, 8, 1)))["params"]
+
+    def apply(p, xx, t, mi, m):
+        return model.apply({"params": p}, xx, t, mi, m)
+
+    st = TrainState.create(
+        apply_fn=None, params=params, ema_params=params,
+        tx=make_optimizer(optax.constant_schedule(1e-3)),
+    )
+    ct_step = make_consistency_step(SCHED, None, apply, grid_size=10,
+                                    ema_decay=0.9)
+    img = jax.random.normal(jax.random.fold_in(key, 9), (4, 8, 8, 3)) * 0.5
+    batch = {"image": img, "masked_image": jnp.zeros_like(img),
+             "mask": jnp.ones((4, 8, 8, 1))}
+    losses = []
+    for i in range(10):
+        st, m = ct_step(st, None, batch, jax.random.PRNGKey(5))
+        losses.append(float(m["loss"]))
+    assert np.isfinite(losses).all()
