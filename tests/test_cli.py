@@ -203,6 +203,13 @@ def test_generate_cli(tmp_path):
           "--image_size", "32", "--method", "dpm++3m", "--ddim_timesteps",
           "6", "--diffusion_steps", "50", *TINY_MODEL])
     assert os.path.exists(os.path.join(out3, "00000.png"))
+    # consistency path: defaults to 2 evals, velocity decoding
+    outc = str(tmp_path / "genc")
+    main(["--output_dir", outc, "--num_samples", "2", "--batch_size", "2",
+          "--image_size", "32", "--method", "consistency",
+          "--mean_type", "velocity", "--diffusion_steps", "50",
+          *TINY_MODEL])
+    assert os.path.exists(os.path.join(outc, "00000.png"))
 
 
 def test_train_cli_resume(data_tree, tmp_path):
@@ -566,3 +573,13 @@ def test_distill_cli_consistency_training_from_scratch(data_tree, tmp_path):
     assert report["mode"] == "consistency-training"
     assert np.isfinite(report["final_loss"])
     assert os.path.isdir(report["checkpoint"])
+    # the student samples straight through the unconditional generate CLI
+    # (native dir -> 9-ch model with full-hole conditioning; velocity
+    # decoding comes from the checkpoint metadata)
+    from fidm_tpu.cli.generate import main as gen_main
+
+    gen_out = str(tmp_path / "gen_ct")
+    gen_main(["--checkpoint", report["checkpoint"], "--method",
+              "consistency", "--output_dir", gen_out, "--num_samples", "2",
+              "--batch_size", "2", "--diffusion_steps", "50", *TINY_MODEL])
+    assert os.path.exists(os.path.join(gen_out, "00000.png"))
