@@ -97,6 +97,11 @@ class DiffusionSchedule:
     fixed_large_log_variance: jnp.ndarray
     num_timesteps: int = struct.field(pytree_node=False)
     name: str = struct.field(pytree_node=False, default="")
+    # host-side float64 betas, kept so samplers can rebuild coefficient
+    # tables at full precision even for custom (unnamed) schedules — the
+    # device `betas` above are rounded to f32 (see sampler.py
+    # host_alphas_cumprod)
+    betas_host: np.ndarray = struct.field(pytree_node=False, default=None)
 
     @classmethod
     def create(cls, schedule_name: str, num_timesteps: int, dtype=jnp.float32):
@@ -136,6 +141,7 @@ class DiffusionSchedule:
             fixed_large_log_variance=as_dev(np.log(fixed_large_var)),
             num_timesteps=T,
             name=name,
+            betas_host=betas,
         )
 
 

@@ -88,8 +88,15 @@ class SamplerConfig:
 
 
 def host_alphas_cumprod(sched: DiffusionSchedule) -> np.ndarray:
-    """Float64 cumulative alphas, recomputed on host for coefficient tables."""
-    if sched.name:
+    """Float64 cumulative alphas, recomputed on host for coefficient tables.
+
+    Prefers the schedule's retained f64 host betas; named schedules can be
+    regenerated; only a hand-built schedule lacking both falls back to the
+    f32-rounded device table (last resort — T-step cumprods amplify the
+    rounding)."""
+    if getattr(sched, "betas_host", None) is not None:
+        betas = np.asarray(sched.betas_host, dtype=np.float64)
+    elif sched.name:
         betas = get_named_beta_schedule(sched.name, sched.num_timesteps)
     else:
         betas = np.asarray(sched.betas, dtype=np.float64)
@@ -124,13 +131,17 @@ def _respaced_seq(sched: DiffusionSchedule, cfg: SamplerConfig,
 def _consistency_seq(sched: DiffusionSchedule, cfg: SamplerConfig) -> tuple:
     """The K-evaluation grid for method="consistency": the first K of
     `distill.consistency_grid`'s K+1 boundaries (the last boundary, 0, is
-    only ever a renoise target). An explicit cfg.timesteps wins."""
+    only ever a renoise target). An explicit cfg.timesteps wins. K near or
+    above T makes the rounded grid collide; duplicates are dropped (keeping
+    the chain strictly descending) rather than wasting model evaluations."""
     if cfg.timesteps is not None:
         return cfg.timesteps
     from ..distill.consistency import consistency_grid
 
     K = cfg.num_steps or sched.num_timesteps
-    return tuple(int(t) for t in consistency_grid(sched.num_timesteps, K)[:K])
+    seq = consistency_grid(sched.num_timesteps, K)[:K]
+    seq = seq[np.concatenate(([True], np.diff(seq) < 0))]
+    return tuple(int(t) for t in seq)
 
 
 def _ddim_tables(sched: DiffusionSchedule, cfg: SamplerConfig):
@@ -151,7 +162,11 @@ def _ddim_tables(sched: DiffusionSchedule, cfg: SamplerConfig):
         "sigma": sigma,
         # stochastic noise only when t > 0 and eta > 0 (test_inpainting_better.py:563)
         "noise_gate": (seq > 0).astype(np.float64) * (1.0 if cfg.eta > 0 else 0.0),
-        # inject at the *previous* level after the update, skip at final step
+        # inject at the *previous* level after the update, skip at final step.
+        # The high/low schedule gates on the CURRENT level (reference
+        # semantics: `apply_inpainting_injection` tests the step's own t,
+        # gaussian_diffusion.py:131-135) even though the post-injection
+        # lands at seq[i+1] — intentional, do not "fix" to the target level
         "inject_gate": (seq > 0).astype(np.float64)
         * _injection_gate(seq, cfg.injection_schedule, T),
         "inject_sqrt_a": np.sqrt(a_prev),
@@ -325,7 +340,11 @@ def _ddpm_tables(sched: DiffusionSchedule, cfg: SamplerConfig):
         "sqrt_a_t": np.sqrt(a_cur),
         "sqrt_one_minus_a_t": np.sqrt(1.0 - a_cur),
         "t": seq.astype(np.int32),
-        "noise_gate": (seq > 0).astype(np.float64),
+        # no noise on the transition that LANDS at x0 (a_prev == 1) — keyed
+        # to the target level, not `seq > 0`: under "trailing" spacing the
+        # final retained step is t > 0 but its respaced transition is still
+        # the terminal, zero-variance one
+        "noise_gate": (a_prev < 1.0).astype(np.float64),
         "inject_gate": (seq > 0).astype(np.float64)
         * _injection_gate(seq, cfg.injection_schedule, T),
         "inject_sqrt_a": np.sqrt(a_inj),
@@ -530,6 +549,98 @@ def _maybe_post_inject(x, xs, gt, keep, inject_key, enabled):
     return x + xs["inject_gate"] * (injected - x)
 
 
+def _shared_update(sched, cfg, x, step_key, B, cond_fn, extract_raw):
+    """(xs, aux0, update) for the methods whose per-step update is identical
+    between `inpaint_sample` and `sample` — everything except DDIM, whose
+    eps derivation deliberately differs (eval-script vs library semantics)
+    and which stays in each entry point. `extract_raw(out)` is the only
+    caller-specific part (inpaint slices `out[..., :3]`; the library path
+    splits learned variance off via `gd.split_model_output`)."""
+    if cfg.method == "ddpm":
+        xs = _to_device_xs(_ddpm_tables(sched, cfg))
+
+        def update(x, aux, s, out):
+            mean, logvar = _ddpm_mean_logvar(out, x, s, cfg)
+            if cond_fn is not None:
+                mean = _guide_mean(cond_fn, x, s, B, mean, logvar)
+            noise = jax.random.normal(
+                jax.random.fold_in(step_key, s["step"]), x.shape, x.dtype
+            )
+            return mean + s["noise_gate"] * jnp.exp(0.5 * logvar) * noise, aux
+
+        return xs, None, update
+
+    if cfg.method in ("dpm++2m", "dpm++2m-sde"):
+        xs = _to_device_xs(_dpm_tables(sched, cfg))
+        sde = cfg.method == "dpm++2m-sde"
+
+        def update(x, prev_x0, s, out):
+            pred_x0, _ = _x0_eps_from_raw(extract_raw(out), x, s, cfg)
+            if cfg.clip_denoised:
+                pred_x0 = jnp.clip(pred_x0, -1.0, 1.0)
+            d_hat = (1.0 + s["corr"]) * pred_x0 - s["corr"] * prev_x0
+            x_new = s["coef_x"] * x + s["coef_D"] * d_hat
+            if sde:
+                noise = jax.random.normal(
+                    jax.random.fold_in(step_key, s["step"]), x.shape, x.dtype
+                )
+                x_new = x_new + s["sde_noise"] * noise
+            return x_new, pred_x0
+
+        # aux: previous x0 prediction, consumed only when corr > 0 (never
+        # at step 0)
+        return xs, jnp.zeros_like(x), update
+
+    if cfg.method == "dpm++3m":
+        xs = _to_device_xs(_dpm3m_tables(sched, cfg))
+
+        def update(x, aux, s, out):
+            m1, m2 = aux
+            pred_x0, _ = _x0_eps_from_raw(extract_raw(out), x, s, cfg)
+            if cfg.clip_denoised:
+                pred_x0 = jnp.clip(pred_x0, -1.0, 1.0)
+            d1_0 = s["inv_r0"] * (pred_x0 - m1)
+            d1_1 = s["inv_r1"] * (m1 - m2)
+            d1 = d1_0 + s["w"] * (d1_0 - d1_1)
+            d2 = s["inv_r01"] * (d1_0 - d1_1)
+            x_new = (s["coef_x"] * x + s["phi1"] * pred_x0
+                     + s["c2"] * d1 - s["c3"] * d2)
+            return x_new, (pred_x0, m1)
+
+        # carry the last two x0 predictions; zeros are never consumed
+        # (inv_r0/inv_r1 gate them to 0 during the order warmup)
+        return xs, (jnp.zeros_like(x), jnp.zeros_like(x)), update
+
+    if cfg.method == "consistency":
+        # multistep consistency sampling (Song et al. 2023, Alg. 1, VP
+        # form) for consistency students (distill/consistency.py): each
+        # step maps straight to x0 under the student's mean-type, then
+        # renoises to the next grid level. The DDIM tables already carry
+        # both coefficients — sqrt_a_prev for the renoise scale and
+        # sqrt(1 - a_prev) (= inject_sqrt_1ma) for its std, which is 0 on
+        # the final step so the scan ends exactly at the x0 prediction.
+        # num_steps=K means exactly K model evaluations on the first K
+        # consistency_grid boundaries (NOT uniform DDIM respacing, which
+        # appends an extra t=0 row the student never trains on).
+        xs = _to_device_xs(
+            _ddim_tables(sched, dataclasses.replace(
+                cfg, eta=0.0, timesteps=_consistency_seq(sched, cfg))))
+
+        def update(x, aux, s, out):
+            pred_x0, _ = _x0_eps_from_raw(extract_raw(out), x, s, cfg)
+            if cfg.clip_denoised:
+                pred_x0 = jnp.clip(pred_x0, -1.0, 1.0)
+            noise = jax.random.normal(
+                jax.random.fold_in(step_key, s["step"]), x.shape, x.dtype
+            )
+            return (s["sqrt_a_prev"] * pred_x0
+                    + s["inject_sqrt_1ma"] * noise), aux
+
+        return xs, None, update
+
+    raise ValueError(f"unknown method: {cfg.method}")
+
+
 def inpaint_sample(
     apply_fn: Callable,
     sched: DiffusionSchedule,
@@ -580,6 +691,10 @@ def inpaint_sample(
 
     init_key, step_key, inject_key = jax.random.split(key, 3)
     x = x_init if x_init is not None else jax.random.normal(init_key, gt.shape, gt.dtype)
+    # the coefficient tables are strong f32: a lower-precision carry (bf16
+    # gt/x_init) would change dtype across the scan body and fail to trace.
+    # Sampler math runs in f32 regardless; the model casts internally.
+    x = x.astype(jnp.float32)
 
     pre = cfg.injection and cfg.injection_point == "pre"
     post = cfg.injection and cfg.injection_point == "post"
@@ -645,86 +760,13 @@ def inpaint_sample(
                 + s["noise_gate"] * s["sigma"] * noise
             ), aux
 
-    elif cfg.method == "ddpm":
-        xs = _to_device_xs(_ddpm_tables(sched, cfg))
-
-        def update(x, aux, s, out):
-            mean, logvar = _ddpm_mean_logvar(out, x, s, cfg)
-            if cond_fn is not None:
-                mean = _guide_mean(cond_fn, x, s, B, mean, logvar)
-            noise = jax.random.normal(
-                jax.random.fold_in(step_key, s["step"]), x.shape, x.dtype
-            )
-            return mean + s["noise_gate"] * jnp.exp(0.5 * logvar) * noise, aux
-
-    elif cfg.method in ("dpm++2m", "dpm++2m-sde"):
-        xs = _to_device_xs(_dpm_tables(sched, cfg))
-        aux0 = jnp.zeros_like(x)  # consumed only when corr > 0 (never step 0)
-        sde = cfg.method == "dpm++2m-sde"
-
-        def update(x, prev_x0, s, out):
-            raw = out[..., :3]
-            pred_x0, _ = _x0_eps_from_raw(raw, x, s, cfg)
-            if cfg.clip_denoised:
-                pred_x0 = jnp.clip(pred_x0, -1.0, 1.0)
-            d_hat = (1.0 + s["corr"]) * pred_x0 - s["corr"] * prev_x0
-            x_new = s["coef_x"] * x + s["coef_D"] * d_hat
-            if sde:
-                noise = jax.random.normal(
-                    jax.random.fold_in(step_key, s["step"]), x.shape, x.dtype
-                )
-                x_new = x_new + s["sde_noise"] * noise
-            return x_new, pred_x0
-
-    elif cfg.method == "dpm++3m":
-        xs = _to_device_xs(_dpm3m_tables(sched, cfg))
-        # carry the last two x0 predictions; zeros are never consumed
-        # (inv_r0/inv_r1 gate them to 0 during the order warmup)
-        aux0 = (jnp.zeros_like(x), jnp.zeros_like(x))
-
-        def update(x, aux, s, out):
-            m1, m2 = aux
-            raw = out[..., :3]
-            pred_x0, _ = _x0_eps_from_raw(raw, x, s, cfg)
-            if cfg.clip_denoised:
-                pred_x0 = jnp.clip(pred_x0, -1.0, 1.0)
-            d1_0 = s["inv_r0"] * (pred_x0 - m1)
-            d1_1 = s["inv_r1"] * (m1 - m2)
-            d1 = d1_0 + s["w"] * (d1_0 - d1_1)
-            d2 = s["inv_r01"] * (d1_0 - d1_1)
-            x_new = (s["coef_x"] * x + s["phi1"] * pred_x0
-                     + s["c2"] * d1 - s["c3"] * d2)
-            return x_new, (pred_x0, m1)
-
-    elif cfg.method == "consistency":
-        # multistep consistency sampling (Song et al. 2023, Alg. 1, VP
-        # form) for consistency-distilled students (distill/consistency.py):
-        # each step maps straight to x0 under the student's mean-type, then
-        # renoises to the next grid level. The DDIM tables already carry
-        # both coefficients — sqrt_a_prev for the renoise scale and
-        # sqrt(1 - a_prev) (= inject_sqrt_1ma) for its std, which is 0 on
-        # the final step so the scan ends exactly at the x0 prediction.
-        # num_steps=K means exactly K model evaluations: the grid is the
-        # first K of distill.consistency_grid's K+1 boundaries (NOT the
-        # uniform DDIM respacing, which appends an extra t=0 row the
-        # student never trains on — consistency_sample parity).
-        xs = _to_device_xs(
-            _ddim_tables(sched, dataclasses.replace(
-                cfg, eta=0.0, timesteps=_consistency_seq(sched, cfg))))
-
-        def update(x, aux, s, out):
-            raw = out[..., :3]
-            pred_x0, _ = _x0_eps_from_raw(raw, x, s, cfg)
-            if cfg.clip_denoised:
-                pred_x0 = jnp.clip(pred_x0, -1.0, 1.0)
-            noise = jax.random.normal(
-                jax.random.fold_in(step_key, s["step"]), x.shape, x.dtype
-            )
-            return (s["sqrt_a_prev"] * pred_x0
-                    + s["inject_sqrt_1ma"] * noise), aux
-
     else:
-        raise ValueError(f"unknown method: {cfg.method}")
+        # ddpm / dpm++2m(-sde) / dpm++3m / consistency: identical update in
+        # both entry points — built once in _shared_update
+        xs, aux0, update = _shared_update(
+            sched, cfg, x, step_key, B, cond_fn,
+            extract_raw=lambda out: out[..., :3],  # ":523-529"
+        )
 
     period = cfg.encoder_cache_period
     if period <= 1:
@@ -813,6 +855,7 @@ def sample(
             "form")
     init_key, step_key = jax.random.split(key)
     x = x_init if x_init is not None else jax.random.normal(init_key, shape)
+    x = x.astype(jnp.float32)  # f32 carry vs strong-f32 tables (see above)
     B = shape[0]
 
     if cfg.method == "repaint":
@@ -867,74 +910,14 @@ def sample(
                 + s["noise_gate"] * s["sigma"] * noise
             ), aux
 
-    elif cfg.method == "ddpm":
-        xs = _to_device_xs(_ddpm_tables(sched, cfg))
-
-        def update(x, aux, s, out):
-            mean, logvar = _ddpm_mean_logvar(out, x, s, cfg)
-            if cond_fn is not None:
-                mean = _guide_mean(cond_fn, x, s, B, mean, logvar)
-            noise = jax.random.normal(
-                jax.random.fold_in(step_key, s["step"]), x.shape, x.dtype
-            )
-            return mean + s["noise_gate"] * jnp.exp(0.5 * logvar) * noise, aux
-
-    elif cfg.method in ("dpm++2m", "dpm++2m-sde"):
-        xs = _to_device_xs(_dpm_tables(sched, cfg))
-        aux0 = jnp.zeros_like(x)
-        sde = cfg.method == "dpm++2m-sde"
-
-        def update(x, prev_x0, s, out):
-            raw, _ = gd.split_model_output(out, cfg.var_type)
-            pred_x0, _ = _x0_eps_from_raw(raw, x, s, cfg)
-            if cfg.clip_denoised:
-                pred_x0 = jnp.clip(pred_x0, -1.0, 1.0)
-            d_hat = (1.0 + s["corr"]) * pred_x0 - s["corr"] * prev_x0
-            x_new = s["coef_x"] * x + s["coef_D"] * d_hat
-            if sde:
-                noise = jax.random.normal(
-                    jax.random.fold_in(step_key, s["step"]), x.shape, x.dtype
-                )
-                x_new = x_new + s["sde_noise"] * noise
-            return x_new, pred_x0
-
-    elif cfg.method == "dpm++3m":
-        xs = _to_device_xs(_dpm3m_tables(sched, cfg))
-        aux0 = (jnp.zeros_like(x), jnp.zeros_like(x))
-
-        def update(x, aux, s, out):
-            m1, m2 = aux
-            raw, _ = gd.split_model_output(out, cfg.var_type)
-            pred_x0, _ = _x0_eps_from_raw(raw, x, s, cfg)
-            if cfg.clip_denoised:
-                pred_x0 = jnp.clip(pred_x0, -1.0, 1.0)
-            d1_0 = s["inv_r0"] * (pred_x0 - m1)
-            d1_1 = s["inv_r1"] * (m1 - m2)
-            d1 = d1_0 + s["w"] * (d1_0 - d1_1)
-            d2 = s["inv_r01"] * (d1_0 - d1_1)
-            x_new = (s["coef_x"] * x + s["phi1"] * pred_x0
-                     + s["c2"] * d1 - s["c3"] * d2)
-            return x_new, (pred_x0, m1)
-
-    elif cfg.method == "consistency":
-        # multistep consistency sampling — see inpaint_sample's branch
-        xs = _to_device_xs(
-            _ddim_tables(sched, dataclasses.replace(
-                cfg, eta=0.0, timesteps=_consistency_seq(sched, cfg))))
-
-        def update(x, aux, s, out):
-            raw, _ = gd.split_model_output(out, cfg.var_type)
-            pred_x0, _ = _x0_eps_from_raw(raw, x, s, cfg)
-            if cfg.clip_denoised:
-                pred_x0 = jnp.clip(pred_x0, -1.0, 1.0)
-            noise = jax.random.normal(
-                jax.random.fold_in(step_key, s["step"]), x.shape, x.dtype
-            )
-            return (s["sqrt_a_prev"] * pred_x0
-                    + s["inject_sqrt_1ma"] * noise), aux
-
     else:
-        raise ValueError(f"unknown method: {cfg.method}")
+        # shared with inpaint_sample; the library path splits learned
+        # variance channels off explicitly
+        xs, aux0, update = _shared_update(
+            sched, cfg, x, step_key, B, cond_fn,
+            extract_raw=lambda out: gd.split_model_output(
+                out, cfg.var_type)[0],
+        )
 
     period = cfg.encoder_cache_period
     if period <= 1:

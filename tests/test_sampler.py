@@ -259,3 +259,80 @@ def test_respaced_ddpm_k_steps_runs_model_k_times():
         inpaint_sample(apply_fn, SCHED, cfg, gt=jnp.zeros((1, 8, 8, 3)),
                        mask=jnp.ones((1, 8, 8, 1)), key=jax.random.PRNGKey(0))
     assert len(calls) == 11  # ddim_timestep_sequence(50, 10) appends T-1
+
+
+def test_ddpm_trailing_spacing_terminal_step_is_noiseless():
+    """Under "trailing" spacing the final retained step has t > 0, but its
+    respaced transition still lands at x0 (a_prev == 1) — the noise gate
+    must key on the TARGET level, not `t > 0` (regression: spurious
+    ~0.15-std noise baked into every returned image)."""
+    from fidm_tpu.sampling.sampler import _ddpm_tables
+
+    for spacing in ("uniform", "trailing"):
+        tab = _ddpm_tables(
+            SCHED, SamplerConfig(method="ddpm", num_steps=10,
+                                 time_spacing=spacing))
+        assert tab["noise_gate"][-1] == 0.0, spacing
+        assert tab["noise_gate"][:-1].all(), spacing
+    # trailing really does end above t=0 (the condition that exposed it)
+    tab = _ddpm_tables(SCHED, SamplerConfig(method="ddpm", num_steps=10,
+                                            time_spacing="trailing"))
+    assert tab["t"][-1] > 0
+
+
+def test_consistency_seq_near_full_chain_dedups():
+    """num_steps=None ("all T") must not crash on rounded-grid collisions;
+    the grid stays strictly descending with no duplicate evals."""
+    from fidm_tpu.sampling.sampler import _consistency_seq
+
+    for K in (None, T, T - 1):
+        seq = _consistency_seq(
+            SCHED, SamplerConfig(method="consistency", num_steps=K))
+        arr = np.asarray(seq)
+        assert (np.diff(arr) < 0).all()
+        assert arr[0] == T - 1
+    # and the full method runs end to end at that grid
+    x0 = jnp.zeros((1, 8, 8, 3))
+    out = inpaint_sample(
+        lambda x, t, mi, m: jnp.concatenate(
+            [jnp.zeros_like(x), jnp.zeros_like(x)], -1),
+        SCHED,
+        SamplerConfig(method="consistency", num_steps=None, injection=False),
+        gt=x0, mask=jnp.ones((1, 8, 8, 1)), key=jax.random.PRNGKey(0))
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_inpaint_sample_accepts_bf16_inputs():
+    """bf16 gt/x_init must not break the scan carry (f32 tables promote the
+    carry mid-scan otherwise); sampler math runs in f32."""
+    gt = jnp.zeros(SHAPE, jnp.bfloat16)
+    mask = jnp.ones(SHAPE[:3] + (1,), jnp.bfloat16)
+    cfg = SamplerConfig(method="ddim", num_steps=5, eta=0.9, injection=True)
+
+    def apply_fn(x, t, mi, m):
+        return jnp.concatenate([jnp.zeros_like(x), jnp.zeros_like(x)], -1)
+
+    out = inpaint_sample(apply_fn, SCHED, cfg, gt=gt, mask=mask,
+                         key=jax.random.PRNGKey(0))
+    assert np.isfinite(np.asarray(out, np.float32)).all()
+    out_u = sample(lambda x, t: jnp.concatenate(
+        [jnp.zeros_like(x), jnp.zeros_like(x)], -1), SCHED,
+        SamplerConfig(method="ddpm"), shape=SHAPE, key=jax.random.PRNGKey(1),
+        x_init=jnp.zeros(SHAPE, jnp.bfloat16))
+    assert np.isfinite(np.asarray(out_u, np.float32)).all()
+
+
+def test_host_alphas_cumprod_f64_for_custom_betas():
+    """Custom (unnamed) schedules keep full f64 beta precision for the
+    sampler coefficient tables (betas_host), instead of rebuilding from the
+    f32-rounded device table."""
+    from fidm_tpu.sampling.sampler import host_alphas_cumprod
+
+    betas64 = np.linspace(1e-4, 0.02, 200, dtype=np.float64) * (
+        1 + 1e-9)  # not exactly representable in f32
+    sched = DiffusionSchedule.from_betas(betas64, name="")
+    acp = host_alphas_cumprod(sched)
+    np.testing.assert_array_equal(acp, np.cumprod(1.0 - betas64))
+    # the f32 fallback would NOT be exactly equal
+    acp32 = np.cumprod(1.0 - np.asarray(np.float32(betas64), np.float64))
+    assert not np.array_equal(acp, acp32)
