@@ -104,7 +104,7 @@ def main():
     wall = time.perf_counter() - t0
 
     lat = np.sort(np.asarray(latencies))
-    fill = server.stats["batch_fill_sum"] / max(server.stats["batches"], 1)
+    fill = server.stats["requests"] / max(server.stats["batches"], 1)
     print(json.dumps({
         "requests": args.requests,
         "concurrency": args.concurrency,

@@ -356,3 +356,9 @@ class InpaintingPipeline:
         dispatch; `inpaint` prefers it over the jit cache."""
         S = self.config.unet.image_size
         self._aot[((batch, S, S, 3), cfg)] = program
+
+    def uninstall_program(self, batch: int, cfg: SamplerConfig) -> bool:
+        """Drop an installed AOT executable (e.g. one that deserialized but
+        cannot execute); subsequent calls fall back to the jit path."""
+        S = self.config.unet.image_size
+        return self._aot.pop(((batch, S, S, 3), cfg), None) is not None

@@ -144,11 +144,7 @@ def load_programs(pipeline, cache_dir: str, batch_sizes,
                 data = pickle.load(f)
             if data.get("format") != _FORMAT_VERSION:
                 continue
-            devs = jax.devices()[:data.get("num_devices", 1)]
-            program = se.deserialize_and_load(data["blob"], data["in_tree"],
-                                              data["out_tree"],
-                                              execution_devices=devs)
-        except Exception as e:  # corrupt/stale entry: recompile, don't die
+        except Exception as e:  # unreadable on disk — definitely corrupt
             print(f"AOT program cache: dropping unreadable {path}: {e}")
             try:
                 # remove it so the caller's save_programs recompiles and
@@ -157,6 +153,27 @@ def load_programs(pipeline, cache_dir: str, batch_sizes,
                 os.remove(path)
             except OSError:
                 pass
+            continue
+        try:
+            devs = jax.devices()[:data.get("num_devices", 1)]
+            program = se.deserialize_and_load(data["blob"], data["in_tree"],
+                                              data["out_tree"],
+                                              execution_devices=devs)
+        except (KeyError, ValueError) as e:  # malformed payload: corrupt
+            print(f"AOT program cache: dropping malformed {path}: {e}")
+            try:
+                os.remove(path)
+            except OSError:
+                pass
+            continue
+        except Exception as e:
+            # device-load failure — can be TRANSIENT (busy chip, tunnel
+            # churn): skip without deleting what may be a valid 10-minute
+            # compile artifact; the jit path covers this process run.
+            # (Entries that load but cannot EXECUTE are healed by
+            # InpaintingServer.warmup.)
+            print(f"AOT program cache: skipping {path} "
+                  f"(device load failed: {e})")
             continue
         pipeline.install_program(batch, cfg, program)
         loaded += 1

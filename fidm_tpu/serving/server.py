@@ -28,6 +28,7 @@ from __future__ import annotations
 
 import io
 import itertools
+import os
 import json
 import queue
 import threading
@@ -79,7 +80,7 @@ class InpaintingServer:
         self.base_seed = base_seed
         self._seed_counter = itertools.count(1)  # atomic in CPython
         self.queue: "queue.Queue[_Request]" = queue.Queue()
-        self.stats = {"requests": 0, "batches": 0, "batch_fill_sum": 0,
+        self.stats = {"requests": 0, "batches": 0,
                       "batches_by_size": {s: 0 for s in self.batch_sizes}}
         self._stop = threading.Event()
         self._thread = threading.Thread(target=self._dispatch_loop,
@@ -96,8 +97,13 @@ class InpaintingServer:
         if seed is None:
             # deterministic by default: base_seed + arrival index
             seed = self.base_seed + next(self._seed_counter)
+        seed = int(seed)
+        if not 0 <= seed < 2**32:
+            # fold_in/PRNGKey overflow outside uint32 — reject up front as a
+            # client error instead of blowing up the dispatcher thread
+            raise ValueError(f"seed must be in [0, 2**32), got {seed}")
         req = _Request(np.asarray(image, np.float32),
-                       np.asarray(mask, np.float32), int(seed))
+                       np.asarray(mask, np.float32), seed)
         self.queue.put(req)
         return req.future
 
@@ -125,10 +131,36 @@ class InpaintingServer:
         for s in self.batch_sizes:
             gt = np.repeat(img[None], s, 0)
             mask = np.repeat(msk[None], s, 0)
-            out = self.pipeline.inpaint(gt, mask, jax.random.PRNGKey(0))
-            # tiny scalar readback forces execution; never pull the full
-            # batch through the (slow) device->host path just to discard it
-            float(np.asarray(out[0, 0, 0, 0]))
+            try:
+                out = self.pipeline.inpaint(gt, mask, jax.random.PRNGKey(0))
+                # tiny scalar readback forces execution; never pull the full
+                # batch through the (slow) device->host path just to discard
+                float(np.asarray(out[0, 0, 0, 0]))
+            except Exception as e:
+                # a cached AOT executable can deserialize cleanly but fail
+                # at EXECUTION (e.g. an artifact serialized from a
+                # compilation-cache-restored executable on XLA:CPU — the
+                # known-broken combination aot.py works around at save
+                # time). Heal: drop the program + its file, recompile via
+                # the jit path, re-persist a good artifact.
+                cfg = self.pipeline.config.sampler
+                if (self.program_cache_dir is None
+                        or not self.pipeline.uninstall_program(s, cfg)):
+                    raise
+                from . import aot
+
+                path = aot.program_path(self.program_cache_dir,
+                                        self.pipeline, s, cfg)
+                try:
+                    os.remove(path)
+                except OSError:
+                    pass
+                print(f"AOT program cache: batch-{s} program failed to "
+                      f"execute ({e}); recompiling")
+                out = self.pipeline.inpaint(gt, mask, jax.random.PRNGKey(0))
+                float(np.asarray(out[0, 0, 0, 0]))
+                aot.save_programs(self.pipeline, self.program_cache_dir,
+                                  (s,), overwrite=True)
         return self
 
     def _dispatch_loop(self):
@@ -147,7 +179,15 @@ class InpaintingServer:
                     batch.append(self.queue.get(timeout=timeout))
                 except queue.Empty:
                     break
-            self._run_batch(batch)
+            # the dispatcher is the single point of failure for every
+            # in-flight request: it must survive ANY per-batch error (a
+            # dead loop would hang all future clients until their timeout)
+            try:
+                self._run_batch(batch)
+            except Exception as e:  # pragma: no cover - belt and braces
+                for r in batch:
+                    if not r.future.done():
+                        r.future.set_exception(e)
 
     def _compiled_size(self, n: int) -> int:
         for s in self.batch_sizes:
@@ -169,21 +209,35 @@ class InpaintingServer:
         for r in batch[1:]:
             key = jax.random.fold_in(key, r.seed)
         try:
-            out = np.asarray(self.pipeline.inpaint(gt, mask, key))
+            # slice the pad rows off ON DEVICE: the device->host path (the
+            # tunneled transfer here) only carries the real results
+            out = np.asarray(self.pipeline.inpaint(gt, mask, key)[:n])
         except Exception as e:  # resolve every waiter with the error
             for r in batch:
-                r.future.set_exception(e)
+                if not r.future.done():  # a cancelled future would raise
+                    r.future.set_exception(e)
             return
         for i, r in enumerate(batch):
-            r.future.set_result(out[i])
+            if not r.future.done():
+                r.future.set_result(out[i])
         self.stats["requests"] += n
         self.stats["batches"] += 1
-        self.stats["batch_fill_sum"] += n
         self.stats["batches_by_size"][size] += 1
 
     def close(self):
+        """Stop the dispatcher and FAIL any still-pending requests — a
+        hung client waiting out its full timeout against a dead dispatcher
+        is worse than an immediate error."""
         self._stop.set()
         self._thread.join(timeout=2)
+        while True:
+            try:
+                req = self.queue.get_nowait()
+            except queue.Empty:
+                break
+            if not req.future.done():
+                req.future.set_exception(
+                    RuntimeError("server shutting down"))
 
 
 def _make_handler(server: InpaintingServer):
@@ -225,7 +279,9 @@ def _make_handler(server: InpaintingServer):
                 self.send_header("Content-Length", str(len(body)))
                 self.end_headers()
                 self.wfile.write(body)
-            except ValueError as e:
+            except (ValueError, KeyError) as e:
+                # malformed request (bad shapes/seed, or a missing npz
+                # entry like 'mask') — client error, not server error
                 body = json.dumps({"error": str(e)}).encode()
                 self.send_response(400)
                 self.send_header("Content-Type", "application/json")
@@ -233,7 +289,12 @@ def _make_handler(server: InpaintingServer):
                 self.end_headers()
                 self.wfile.write(body)
             except Exception as e:
-                self.send_error(500, str(e))
+                # the status line is latin-1, single-line: a raw XLA error
+                # (multiline, arbitrary bytes) would split the response or
+                # crash the handler — sanitize to one printable line
+                msg = str(e).splitlines()[0][:200] if str(e) else "error"
+                msg = msg.encode("latin-1", "replace").decode("latin-1")
+                self.send_error(500, msg)
 
     return Handler
 

@@ -252,3 +252,74 @@ def test_explicit_request_seed_changes_batch_result(pipeline):
     c1, c2 = run(seed_b=2)
     np.testing.assert_array_equal(a1, c1)
     np.testing.assert_array_equal(a2, c2)
+
+
+def test_submit_rejects_out_of_range_seed(pipeline):
+    """Seeds outside uint32 would overflow PRNGKey/fold_in INSIDE the
+    dispatcher thread, killing it and hanging every later request — they
+    must be rejected at submit time as a client error."""
+    server = InpaintingServer(pipeline, batch_size=2, max_wait_ms=5)
+    try:
+        im, m = _sample_input()
+        with pytest.raises(ValueError, match="seed"):
+            server.submit(im, m, seed=2**63)
+        with pytest.raises(ValueError, match="seed"):
+            server.submit(im, m, seed=-1)
+        # the dispatcher is still alive and serving
+        out = server.submit(im, m, seed=2**32 - 1).result(timeout=300)
+        assert np.isfinite(out).all()
+    finally:
+        server.close()
+
+
+def test_close_fails_pending_requests_fast(pipeline):
+    """Queued requests must not hang for the client timeout after close():
+    they resolve immediately with a shutdown error."""
+    server = InpaintingServer(pipeline, batch_size=2, max_wait_ms=5)
+    server._stop.set()
+    server._thread.join(timeout=5)
+    im, m = _sample_input()
+    fut = server.submit(im, m, seed=1)
+    server.close()
+    with pytest.raises(RuntimeError, match="shutting down"):
+        fut.result(timeout=5)
+
+
+def test_http_malformed_npz_returns_400(pipeline):
+    """A POST missing the required 'mask' entry is a client error (400),
+    not a 500 through the generic handler."""
+    import json as _json
+
+    from fidm_tpu.serving.server import _make_handler
+    from http.server import ThreadingHTTPServer
+
+    server = InpaintingServer(pipeline, batch_size=2, max_wait_ms=5)
+    httpd = ThreadingHTTPServer(("127.0.0.1", 0), _make_handler(server))
+    port = httpd.server_address[1]
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    try:
+        im, _ = _sample_input()
+        buf = io.BytesIO()
+        np.savez(buf, image=im)  # no mask
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/inpaint", data=buf.getvalue(),
+            method="POST")
+        with pytest.raises(urllib.error.HTTPError) as exc:
+            urllib.request.urlopen(req, timeout=60)
+        assert exc.value.code == 400
+        body = _json.loads(exc.value.read())
+        assert "mask" in body["error"]
+        # out-of-range seed over HTTP is also a 400
+        buf = io.BytesIO()
+        im, m = _sample_input()
+        np.savez(buf, image=im, mask=m, seed=np.uint64(2**63))
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/inpaint", data=buf.getvalue(),
+            method="POST")
+        with pytest.raises(urllib.error.HTTPError) as exc2:
+            urllib.request.urlopen(req, timeout=60)
+        assert exc2.value.code == 400
+    finally:
+        httpd.shutdown()
+        server.close()
