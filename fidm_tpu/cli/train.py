@@ -244,9 +244,10 @@ def main(argv=None):
     with mesh:
         state, history = fit(
             state, train_step, eval_step, train_loader, val_loader, key,
+            # checkpoint rotation lives on CheckpointManager (constructed
+            # above with --keep_last_n), not here
             FitConfig(num_epochs=args.num_epochs,
-                      early_stopping_patience=args.early_stopping_patience,
-                      keep_last_n=args.keep_last_n),
+                      early_stopping_patience=args.early_stopping_patience),
             checkpoint_manager=ckpt, mesh=mesh, start_epoch=start_epoch,
             metadata=meta,
         )

@@ -116,7 +116,11 @@ class CheckpointManager:
             self._best.save(best_dir, state)
             self._best.wait_until_finished()
             with open(self._marker_path(), "w") as f:
-                json.dump({"val_loss": self.best_val_loss, "step": step}, f)
+                # carry the FULL metadata, not just the marker fields: the
+                # rotating step that holds it can be pruned, and consumers
+                # (cli.evaluate's mean_type resolution) prefer "best"
+                json.dump({**meta, "val_loss": self.best_val_loss,
+                           "step": step}, f)
         return is_best
 
     # -- restore -------------------------------------------------------------

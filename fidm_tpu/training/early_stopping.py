@@ -29,7 +29,12 @@ class EarlyStopping:
             self.best_loss = val_loss
             self.wait = 0
             if self.restore_best_weights and params is not None:
-                self.best_params = jax.tree_util.tree_map(lambda x: x, params)
+                # a real device copy, not an identity map: the donating
+                # train step (donate=True default) invalidates the live
+                # param buffers next epoch, and an aliased "snapshot" would
+                # restore deleted arrays
+                self.best_params = jax.tree_util.tree_map(
+                    lambda x: x.copy() if hasattr(x, "copy") else x, params)
         else:
             self.wait += 1
         if self.wait >= self.patience:

@@ -14,8 +14,13 @@ __all__ = ["init_ema", "update_ema"]
 
 
 def init_ema(params):
-    """EMA state initialized to a copy of the params."""
-    return jax.tree_util.tree_map(jnp.asarray, params)
+    """EMA state initialized to a COPY of the params.
+
+    A real copy matters: `jnp.asarray` would alias the live param buffers,
+    and a donating train step (`make_train_step(donate=True)`, the default)
+    would then donate the same buffer twice and crash on its first call."""
+    return jax.tree_util.tree_map(
+        lambda x: x.copy() if hasattr(x, "copy") else jnp.array(x), params)
 
 
 def update_ema(ema_params, params, decay: float = 0.9999):

@@ -109,7 +109,6 @@ class FitConfig:
     num_epochs: int = 10
     early_stopping_patience: int = 0  # 0 = disabled
     early_stopping_min_delta: float = 0.0
-    keep_last_n: int = 3
     log_fn: Callable = print
     # catch SIGTERM/SIGINT, checkpoint, and return cleanly (TPU preemption)
     handle_preemption: bool = True

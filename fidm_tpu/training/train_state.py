@@ -49,13 +49,28 @@ def make_optimizer(
     grad_clip: float = 1.0,
     param_mask: Optional[Any] = None,
 ):
-    """AdamW + global-norm clipping; optional trainable-param mask (LoRA)."""
+    """AdamW + global-norm clipping; optional trainable-param mask.
+
+    `param_mask` (pytree of bools or callable params -> pytree) FREEZES the
+    False entries: the optimizer runs only on the True subset and the rest
+    get exactly zero updates. (Plain `optax.masked(tx, mask)` alone would
+    pass raw gradients through for masked-out params — gradient ascent on
+    the "frozen" weights.)"""
     tx = optax.chain(
         optax.clip_by_global_norm(grad_clip),
         optax.adamw(lr_schedule, b1=b1, b2=b2, weight_decay=weight_decay),
     )
     if param_mask is not None:
-        tx = optax.masked(tx, param_mask)
+        not_tree = lambda t: jax.tree_util.tree_map(  # noqa: E731
+            lambda b: not b, t)
+        inverse = (
+            (lambda params: not_tree(param_mask(params)))
+            if callable(param_mask) else not_tree(param_mask)
+        )
+        tx = optax.chain(
+            optax.masked(tx, param_mask),
+            optax.masked(optax.set_to_zero(), inverse),
+        )
     return tx
 
 

@@ -442,3 +442,78 @@ def test_overwrite_completed_discards_backup(tmp_path):
     _, meta = mgr.restore("latest", abstract)
     assert meta["epoch"] == 99
     mgr.close()
+
+
+def test_ema_with_donated_step_runs():
+    """init_ema must COPY the params: with the default donate=True step, an
+    aliased EMA tree donates the same buffer twice and crashes on step 1
+    (regression — the cli.train --ema_decay path)."""
+    from fidm_tpu.training.ema import init_ema
+
+    model, state = _make_state()
+    state = state.replace(ema_params=init_ema(state.params))
+    step = make_train_step(SCHED, ema_decay=0.5)  # donate=True default
+    batch = _batch(jax.random.PRNGKey(1))
+    state, m = step(state, batch, jax.random.PRNGKey(2))
+    state, m = step(state, batch, jax.random.PRNGKey(2))
+    assert np.isfinite(float(m["loss"]))
+    # EMA actually tracked (differs from both init and live params)
+    leaf = state.params["base"]["in_0_conv"]["kernel"]
+    eleaf = state.ema_params["base"]["in_0_conv"]["kernel"]
+    assert not np.allclose(np.asarray(leaf), np.asarray(eleaf))
+
+
+def test_early_stopping_snapshot_survives_donation():
+    """The best-weights snapshot must be a real copy: the donating train
+    step deletes the live buffers next epoch (regression: restoring the
+    snapshot raised 'Array has been deleted')."""
+    from fidm_tpu.training.early_stopping import EarlyStopping
+
+    model, state = _make_state()
+    es = EarlyStopping(patience=1, restore_best_weights=True)
+    es.update(1.0, state.params)
+    # simulate the donation invalidating the live buffers
+    step = make_train_step(SCHED)  # donate=True
+    state, _ = step(state, _batch(jax.random.PRNGKey(1)),
+                    jax.random.PRNGKey(2))
+    stop, best = es.update(2.0, state.params)
+    assert stop
+    # every snapshot leaf is still readable
+    for leaf in jax.tree_util.tree_leaves(best):
+        np.asarray(leaf)
+
+
+def test_param_mask_freezes_instead_of_gradient_ascent():
+    """make_optimizer(param_mask=...): mask=False params get EXACTLY zero
+    updates (optax.masked alone passes raw gradients through — gradient
+    ascent on 'frozen' weights)."""
+    params = {"frozen": jnp.ones(()), "trainable": jnp.ones(())}
+    tx = make_optimizer(optax.constant_schedule(0.1),
+                        param_mask={"frozen": False, "trainable": True})
+    opt_state = tx.init(params)
+    grads = {"frozen": jnp.asarray(0.5), "trainable": jnp.asarray(0.5)}
+    updates, _ = tx.update(grads, opt_state, params)
+    new = optax.apply_updates(params, updates)
+    assert float(new["frozen"]) == 1.0
+    assert float(new["trainable"]) != 1.0
+    # callable masks follow the same contract
+    tx2 = make_optimizer(optax.constant_schedule(0.1),
+                         param_mask=lambda p: {"frozen": False,
+                                               "trainable": True})
+    u2, _ = tx2.update(grads, tx2.init(params), params)
+    assert float(optax.apply_updates(params, u2)["frozen"]) == 1.0
+
+
+def test_best_marker_carries_full_metadata(tmp_path):
+    """best.json keeps the training metadata (mean_type etc.) — the
+    rotating step that also holds it can be pruned, and cli.evaluate
+    prefers 'best' when resolving the parameterization."""
+    _, state = _make_state()
+    d = str(tmp_path / "ck")
+    mgr = CheckpointManager(d, keep_last_n=1)
+    mgr.save(0, state, metadata={"mean_type": "velocity", "epoch": 0},
+             val_loss=1.0)
+    meta = mgr.restore_metadata("best")
+    assert meta["mean_type"] == "velocity"
+    assert meta["val_loss"] == 1.0
+    mgr.close()
