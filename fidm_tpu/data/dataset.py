@@ -129,12 +129,25 @@ class InpaintingDataset:
         self.invert_mask = invert_mask
         from .shards import ShardReader, is_packed_dir
 
+        # decoded-mask cache: serial/ordered modes assign the same few mask
+        # files to MANY images, and re-decoding them every item would be
+        # the per-epoch bottleneck left after packed shards remove the
+        # image decode (masks are tiny and read-only; procedural masks are
+        # per-index and skip it)
+        self._mask_cache: Dict[str, np.ndarray] = {}
         self.reader = None
         if is_packed_dir(data_dir):
             # packed uint8 shard dir (fidm_tpu.cli.pack_data) — memmap reads
             # instead of per-item JPEG decode
             self.reader = ShardReader(data_dir)
             self.images = [Path(p) for p in self.reader.paths]
+            if getattr(self.reader, "img_size", img_size) != img_size:
+                print(
+                    f"WARNING: packed shards were written at "
+                    f"{self.reader.img_size}px but img_size={img_size}: "
+                    f"images will be resized twice (pack once per "
+                    f"resolution for exact single-resize parity)"
+                )
         else:
             self.images = list_images(data_dir)
         if not self.images:
@@ -154,7 +167,10 @@ class InpaintingDataset:
 
         if mask_mode == "serial":
             # repeat the mask list in order to cover all images
-            # (`data/dataset.py:84-105`)
+            # (`data/dataset.py:84-105`). NOTE: this assigns exactly the
+            # same sequence as "ordered" below — both names exist only for
+            # reference parity (its training and inference datasets built
+            # the identical cycling two different ways)
             reps = -(-len(self.images) // len(self.masks))
             self.mask_sequence = (self.masks * reps)[: len(self.images)]
         elif mask_mode == "random":
@@ -183,15 +199,20 @@ class InpaintingDataset:
             rng = np.random.default_rng(self.seed * 1_000_003 + idx)
             mask = random_mask(rng, self.img_size, self.coverage)
             mask_path = f"<procedural:{idx}>"
-        elif self.invert_mask:
-            mask = load_mask(mask_path, self.img_size)
+        elif (cached := self._mask_cache.get(str(mask_path))) is not None:
+            mask = cached
         else:
-            from PIL import Image
+            if self.invert_mask:
+                mask = load_mask(mask_path, self.img_size)
+            else:
+                from PIL import Image
 
-            m = Image.open(mask_path).convert("L").resize(
-                (self.img_size, self.img_size), Image.BILINEAR
-            )
-            mask = (np.asarray(m, np.float32) / 255.0)[..., None]
+                m = Image.open(mask_path).convert("L").resize(
+                    (self.img_size, self.img_size), Image.BILINEAR
+                )
+                mask = (np.asarray(m, np.float32) / 255.0)[..., None]
+            mask.flags.writeable = False  # shared across items
+            self._mask_cache[str(mask_path)] = mask
         if self.reader is not None:
             image, masked_image = _normalize_compose(
                 self.reader.get(idx, self.img_size), mask
@@ -210,9 +231,11 @@ class InpaintingDataset:
 
 
 class DataLoader:
-    """Minimal batcher: shuffle, drop_last, stacked numpy dict batches."""
+    """Minimal batcher: shuffle, drop_last, stacked numpy dict batches.
 
-    ARRAY_KEYS = ("image", "masked_image", "mask")
+    Every array-valued item key is stacked (so e.g. a "label" key from a
+    class-conditional dataset reaches `make_train_step`); numeric scalars
+    become 1-D arrays; anything else (paths) stays a list."""
 
     def __init__(self, dataset, batch_size: int, shuffle: bool = False,
                  drop_last: bool = False, seed: int = 0,
@@ -241,11 +264,15 @@ class DataLoader:
             if self.drop_last and len(chunk) < self.batch_size:
                 break
             items = [self.dataset[int(i)] for i in chunk]
-            batch = {
-                k: np.stack([it[k] for it in items]) for k in self.ARRAY_KEYS
-            }
-            batch["image_path"] = [it["image_path"] for it in items]
-            batch["mask_path"] = [it["mask_path"] for it in items]
+            batch = {}
+            for k, v0 in items[0].items():
+                if isinstance(v0, np.ndarray):
+                    batch[k] = np.stack([it[k] for it in items])
+                elif isinstance(v0, (int, float, np.integer, np.floating)
+                                ) and not isinstance(v0, bool):
+                    batch[k] = np.asarray([it[k] for it in items])
+                else:
+                    batch[k] = [it[k] for it in items]
             yield batch
 
 
@@ -254,14 +281,22 @@ def create_inpainting_dataloaders(
     mask_mode="serial", seed=42,
 ):
     """Train/val loader pair (`data/dataset.py:298-357`): shuffled train with
-    drop_last, sequential val."""
+    drop_last, sequential val.
+
+    The val loader also drops a ragged final batch when more than one
+    device is visible: a mesh-sharded eval step requires the batch dim to
+    divide over the data axis, and crashing at the end of epoch 1 on a pod
+    is worse than skipping < batch_size validation images."""
+    import jax
+
     train_ds = InpaintingDataset(train_dir, mask_dir, "train", img_size,
                                  mask_mode, seed)
     val_ds = InpaintingDataset(val_dir, mask_dir, "val", img_size,
                                mask_mode, seed + 57)
+    val_drop = len(jax.devices()) > 1 and len(val_ds) % batch_size != 0
     return (
         DataLoader(train_ds, batch_size, shuffle=True, drop_last=True, seed=seed),
-        DataLoader(val_ds, batch_size, shuffle=False),
+        DataLoader(val_ds, batch_size, shuffle=False, drop_last=val_drop),
     )
 
 

@@ -60,18 +60,42 @@ class ThreadedLoader:
 
         buf: "q.Queue" = q.Queue(maxsize=self._qsize)
         END = object()
+        stop = threading.Event()
+        err: list = []
+
+        def _put(item) -> bool:
+            # bounded-queue put that gives up when the consumer is gone —
+            # an abandoned iteration (break / one-batch peek) must not pin
+            # a blocked thread plus queued batches forever
+            while not stop.is_set():
+                try:
+                    buf.put(item, timeout=0.5)
+                    return True
+                except q.Full:
+                    continue
+            return False
 
         def worker():
             try:
                 for item in self._make():
-                    buf.put(item)
+                    if not _put(item):
+                        return
+            except BaseException as e:  # propagate, don't truncate the epoch
+                err.append(e)
             finally:
-                buf.put(END)
+                _put(END)
 
         t = threading.Thread(target=worker, daemon=True)
         t.start()
-        while True:
-            item = buf.get()
-            if item is END:
-                break
-            yield item
+        try:
+            while True:
+                item = buf.get()
+                if item is END:
+                    break
+                yield item
+        finally:
+            stop.set()
+        if err:
+            # a worker error silently truncating an epoch would train/eval
+            # on partial data with no signal — re-raise in the consumer
+            raise err[0]

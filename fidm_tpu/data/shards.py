@@ -68,6 +68,8 @@ def pack_dataset(data_dir, out_dir, img_size: int = 256,
             arr = np.empty((len(chunk), img_size, img_size, 3), np.uint8)
             ok = np.zeros((len(chunk),), bool)
         for i in np.nonzero(~ok)[0]:
+            # must stay bit-identical to dataset._decode_rgb_u8's PIL
+            # fallback, or packed and unpacked pipelines diverge
             img = Image.open(chunk[i]).convert("RGB").resize(
                 (img_size, img_size), Image.BILINEAR
             )

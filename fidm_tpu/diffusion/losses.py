@@ -95,6 +95,10 @@ def training_losses(
 
         if mean_type == gd.ModelMeanType.VELOCITY:
             target = gd.velocity_from_eps_xstart(sched, t, noise, x_start)
+        elif mean_type == gd.ModelMeanType.PREVIOUS_X:
+            # reference target for xprev models: the true posterior mean
+            # (`gaussian_diffusion.py:584-588`)
+            target = gd.q_posterior_mean_variance(sched, x_start, x_t, t)[0]
         else:
             target = {
                 gd.ModelMeanType.EPSILON: noise,

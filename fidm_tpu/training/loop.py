@@ -139,6 +139,11 @@ def fit(
     )
     shutdown = GracefulShutdown() if cfg.handle_preemption else None
     history = []
+    if start_epoch and hasattr(train_loader, "epoch"):
+        # resumed runs must continue the shuffle sequence, not replay the
+        # epoch-0 order (DataLoader derives each epoch's order from
+        # seed + epoch and a fresh process restarts its counter at 0)
+        train_loader.epoch = start_epoch
     with shutdown if shutdown is not None else contextlib.nullcontext():
         for epoch in range(start_epoch, cfg.num_epochs):
             t0 = time.time()

@@ -207,3 +207,91 @@ def test_pack_data_cli(data_tree, tmp_path):
     )
     batches = list(loader)
     assert batches[0]["image"].shape == (4, 32, 32, 3)
+
+
+def test_threaded_loader_propagates_worker_errors():
+    """A failing item must raise in the consumer, not silently truncate
+    the epoch (regression: a corrupt file cut training data with no
+    signal)."""
+    from fidm_tpu.data.prefetch import ThreadedLoader
+
+    def bad_iter():
+        yield {"x": np.zeros(2)}
+        raise OSError("corrupt file")
+
+    loader = ThreadedLoader(lambda: bad_iter())
+    it = iter(loader)
+    next(it)
+    with pytest.raises(OSError, match="corrupt"):
+        next(it)
+
+
+def test_threaded_loader_abandoned_iteration_releases_worker():
+    """Breaking out mid-epoch must not leave the worker blocked on the
+    bounded queue forever."""
+    import threading
+    import time
+
+    from fidm_tpu.data.prefetch import ThreadedLoader
+
+    n_before = threading.active_count()
+    for _ in range(3):
+        it = iter(ThreadedLoader(
+            lambda: ({"x": np.zeros((64, 64))} for _ in range(100)),
+            queue_size=1))
+        next(it)
+        it.close()  # abandon
+    deadline = time.time() + 10
+    while threading.active_count() > n_before and time.time() < deadline:
+        time.sleep(0.05)
+    assert threading.active_count() <= n_before
+
+
+def test_dataloader_stacks_label_and_extra_array_keys(data_tree):
+    """Array-valued keys beyond image/masked_image/mask (e.g. 'label' for
+    class-conditional training) must survive batching."""
+    img_dir, mask_dir = data_tree
+
+    class Labeled(InpaintingDataset):
+        def __getitem__(self, idx):
+            item = super().__getitem__(idx)
+            item["label"] = idx % 3
+            item["embedding"] = np.full((4,), float(idx), np.float32)
+            return item
+
+    ds = Labeled(img_dir, mask_dir, "train", img_size=32)
+    batch = next(iter(DataLoader(ds, 4)))
+    assert batch["label"].shape == (4,)
+    np.testing.assert_array_equal(batch["label"], [0, 1, 2, 0])
+    assert batch["embedding"].shape == (4, 4)
+    assert isinstance(batch["image_path"], list)
+
+
+def test_dataloader_epoch_counter_resumes_shuffle_order(data_tree):
+    """Setting loader.epoch reproduces the same order a continuous run
+    would have used (fit(start_epoch=N) relies on this after resume)."""
+    img_dir, mask_dir = data_tree
+    ds = InpaintingDataset(img_dir, mask_dir, "train", img_size=32)
+
+    def orders(loader, n):
+        out = []
+        for _ in range(n):
+            out.append([b["image_path"] for b in loader])
+        return out
+
+    cont = orders(DataLoader(ds, 2, shuffle=True, seed=7), 3)
+    resumed = DataLoader(ds, 2, shuffle=True, seed=7)
+    resumed.epoch = 2
+    assert orders(resumed, 1)[0] == cont[2]
+
+
+def test_mask_decode_cached_across_items(data_tree):
+    """Serial masks repeat across many images; the decoded array must be
+    reused, not re-decoded per item."""
+    img_dir, mask_dir = data_tree
+    ds = InpaintingDataset(img_dir, mask_dir, "train", img_size=32,
+                           mask_mode="serial")
+    m0 = ds[0]["mask"]
+    m3 = ds[3]["mask"]  # 3 masks cycle: idx 3 reuses mask_0
+    assert m0 is m3
+    assert not m0.flags.writeable

@@ -282,3 +282,26 @@ def test_discretized_gaussian_ll_is_probability_like():
     )
     assert np.all(np.asarray(ll) < 0)  # log-probs
     assert np.all(np.isfinite(np.asarray(ll)))
+
+
+def test_training_losses_xprev_target_is_posterior_mean():
+    """PREVIOUS_X models train against the true posterior mean
+    (`gaussian_diffusion.py:584-588`)."""
+    key = jax.random.PRNGKey(3)
+    x0 = _rand(5, 2, 8, 8, 3)
+    mask = jnp.ones((2, 8, 8, 1))
+    t = jnp.array([20, 60])
+    seen = {}
+
+    def model_fn(x_t, tt, mi, m):
+        seen["x_t"] = x_t
+        out = 0.25 * x_t
+        return jnp.concatenate([out, jnp.zeros_like(out)], axis=-1)
+
+    terms = training_losses(
+        SCHED, model_fn, x0, t, key, mask=mask, use_injection=False,
+        mean_type=ModelMeanType.PREVIOUS_X,
+    )
+    target = q_posterior_mean_variance(SCHED, x0, seen["x_t"], t)[0]
+    expected = masked_mse(target, 0.25 * seen["x_t"], mask)
+    assert float(terms["loss"]) == pytest.approx(float(expected), rel=1e-6)
