@@ -56,6 +56,14 @@ def parse_args(argv=None):
                    choices=["all", "high", "low"])
     p.add_argument("--vb_weight", type=float, default=0.0,
                    help="hybrid MSE+VLB weight (0 = pure masked MSE)")
+    p.add_argument("--loss_weight", default="none",
+                   choices=["none", "min_snr", "p2"],
+                   help="timestep-dependent loss weighting: min_snr "
+                        "(Hang et al. 2023, clamp at --snr_gamma) or p2 "
+                        "(Choi et al. 2022) — faster convergence / better "
+                        "perceptual focus than the reference's uniform MSE")
+    p.add_argument("--snr_gamma", type=float, default=None,
+                   help="min_snr clamp / p2 exponent (defaults: 5.0 / 1.0)")
     p.add_argument("--mean_type", default="epsilon",
                    choices=["epsilon", "xstart", "velocity"],
                    help="training parameterization (the reference factory's "
@@ -211,6 +219,7 @@ def main(argv=None):
     train_step = make_train_step(
         sched, mesh=mesh, use_injection=not args.no_injection,
         injection_schedule=args.injection_schedule, vb_weight=args.vb_weight,
+        loss_weight=args.loss_weight, loss_weight_gamma=args.snr_gamma,
         mean_type=mean_type,
         param_transform=param_transform,
         ema_decay=args.ema_decay if args.ema_decay > 0 else None,
@@ -219,6 +228,7 @@ def main(argv=None):
     eval_step = make_eval_step(
         sched, mesh=mesh, use_injection=not args.no_injection,
         injection_schedule=args.injection_schedule, vb_weight=args.vb_weight,
+        loss_weight=args.loss_weight, loss_weight_gamma=args.snr_gamma,
         mean_type=mean_type,
         param_transform=param_transform,
     )

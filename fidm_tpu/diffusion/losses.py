@@ -21,21 +21,73 @@ import jax.numpy as jnp
 from . import gaussian as gd
 from .schedules import DiffusionSchedule
 
-__all__ = ["training_losses", "masked_mse"]
+__all__ = ["training_losses", "masked_mse", "snr_loss_weight"]
 
 
-def masked_mse(target, prediction, inpaint_mask):
+def masked_mse(target, prediction, inpaint_mask, sample_weight=None):
     """Area-normalized MSE over the hole region (`gaussian_diffusion.py:596-605`).
 
     mask is broadcast to all channels; per-sample sums over space are divided
     by the (clamped >= 1) mask area, then averaged over batch and channels.
+    `sample_weight` ([B], optional) scales each sample's contribution —
+    the hook for timestep-dependent loss weighting (min-SNR / P2).
     """
     mask_c = jnp.broadcast_to(inpaint_mask, target.shape)
     mse = (target - prediction) ** 2 * mask_c
     # sum over spatial dims (NHWC -> axes 1,2), keep batch & channel
     mask_area = jnp.clip(mask_c.sum(axis=(1, 2), keepdims=True), min=1.0)
     per = mse.sum(axis=(1, 2), keepdims=True) / mask_area
+    if sample_weight is not None:
+        per = per * sample_weight.reshape((-1,) + (1,) * (per.ndim - 1))
     return per.mean()
+
+
+def snr_loss_weight(
+    sched: DiffusionSchedule,
+    t: jnp.ndarray,
+    mean_type: gd.ModelMeanType,
+    kind: str,
+    gamma: Optional[float] = None,
+    p2_k: float = 1.0,
+) -> jnp.ndarray:
+    """Per-sample timestep loss weights ([B]) for the masked MSE.
+
+    Both schemes are defined on the x0/eps-space loss and converted to the
+    model's parameterization via eps-mse = SNR * x0-mse and
+    v-mse = (SNR+1) * x0-mse, so a given `kind` applies the SAME effective
+    weighting regardless of mean_type (tested as an algebraic identity):
+
+    - "min_snr" (Hang et al. 2023, arXiv:2303.09556): clamp the effective
+      x0-space weight at gamma (default 5.0). eps-models:
+      min(SNR, g)/SNR; x0-models: min(SNR, g); v-models: min(SNR, g)/(SNR+1).
+    - "p2" (Choi et al. 2022, arXiv:2204.00227): down-weight the easy
+      low-noise steps by 1/(k + SNR)^gamma relative to the STANDARD eps
+      loss (gamma default 1.0, k=1.0).
+
+    Beyond-reference capability: the reference trains with the uniform
+    eps-MSE only (`gaussian_diffusion.py:596-605`).
+    """
+    if kind == "none":
+        return jnp.ones_like(t, jnp.float32)
+    if mean_type == gd.ModelMeanType.PREVIOUS_X:
+        raise ValueError("snr loss weighting is undefined for xprev models")
+    snr = gd.extract(
+        sched.alphas_cumprod / (1.0 - sched.alphas_cumprod), t, 1)
+    if kind == "min_snr":
+        g = 5.0 if gamma is None else gamma
+        w_x0 = jnp.minimum(snr, g)  # x0-space weight
+    elif kind == "p2":
+        g = 1.0 if gamma is None else gamma
+        # paper weight is relative to the standard eps loss -> x0-space
+        # weight carries the SNR factor of eps-mse = SNR * x0-mse
+        w_x0 = snr / (p2_k + snr) ** g
+    else:
+        raise ValueError(f"unknown loss_weight kind: {kind!r}")
+    if mean_type == gd.ModelMeanType.EPSILON:
+        return w_x0 / snr
+    if mean_type == gd.ModelMeanType.VELOCITY:
+        return w_x0 / (snr + 1.0)
+    return w_x0  # START_X
 
 
 def training_losses(
@@ -53,6 +105,8 @@ def training_losses(
     use_injection: bool = True,
     injection_schedule: str = "all",
     vb_weight: float = 0.0,
+    loss_weight: str = "none",
+    loss_weight_gamma: Optional[float] = None,
 ):
     """Compute the inpainting training loss.
 
@@ -67,6 +121,10 @@ def training_losses(
       vb_weight: if > 0, adds `vb_weight * vb_term` computed with a
         stop-gradient on the mean channels (Improved-DDPM hybrid loss) —
         a capability the reference lacks.
+      loss_weight: "none" | "min_snr" | "p2" — timestep-dependent loss
+        weighting (see `snr_loss_weight`); applies to the MSE term only.
+      loss_weight_gamma: clamp/exponent for the chosen scheme (defaults:
+        min_snr 5.0, p2 1.0).
 
     Returns:
       dict with "loss", "mse" (and "vb" when enabled).
@@ -104,7 +162,13 @@ def training_losses(
                 gd.ModelMeanType.EPSILON: noise,
                 gd.ModelMeanType.START_X: x_start,
             }[mean_type]
-        terms["mse"] = masked_mse(target, mean_part, mask)
+        weight = (
+            snr_loss_weight(sched, t, mean_type, loss_weight,
+                            loss_weight_gamma)
+            if loss_weight != "none" else None
+        )
+        terms["mse"] = masked_mse(target, mean_part, mask,
+                                  sample_weight=weight)
         if loss_type == gd.LossType.RESCALED_MSE:
             terms["mse"] = terms["mse"] * sched.num_timesteps
         terms["loss"] = terms["mse"]

@@ -87,6 +87,8 @@ def _loss_for_batch(
     use_injection,
     injection_schedule,
     vb_weight,
+    loss_weight="none",
+    loss_weight_gamma=None,
     label_dropout=0.0,
     null_label=None,
     use_labels=True,
@@ -125,6 +127,8 @@ def _loss_for_batch(
         use_injection=use_injection,
         injection_schedule=injection_schedule,
         vb_weight=vb_weight,
+        loss_weight=loss_weight,
+        loss_weight_gamma=loss_weight_gamma,
     )
     return terms["loss"], terms
 
@@ -138,6 +142,8 @@ def make_train_step(
     use_injection: bool = True,
     injection_schedule: str = "all",
     vb_weight: float = 0.0,
+    loss_weight: str = "none",
+    loss_weight_gamma=None,
     mesh: Optional[Mesh] = None,
     donate: bool = True,
     param_transform: Optional[Callable] = None,
@@ -186,6 +192,8 @@ def make_train_step(
                 loss_type=loss_type, var_type=var_type, mean_type=mean_type,
                 use_injection=use_injection,
                 injection_schedule=injection_schedule, vb_weight=vb_weight,
+                loss_weight=loss_weight,
+                loss_weight_gamma=loss_weight_gamma,
                 label_dropout=label_dropout, null_label=null_label,
                 use_labels=use_labels,
             )
@@ -278,6 +286,8 @@ def make_eval_step(
     use_injection: bool = True,
     injection_schedule: str = "all",
     vb_weight: float = 0.0,
+    loss_weight: str = "none",
+    loss_weight_gamma=None,
     mesh: Optional[Mesh] = None,
     param_transform: Optional[Callable] = None,
     use_labels: bool = True,
@@ -293,6 +303,7 @@ def make_eval_step(
             loss_type=loss_type, var_type=var_type, mean_type=mean_type,
             use_injection=use_injection,
             injection_schedule=injection_schedule, vb_weight=vb_weight,
+            loss_weight=loss_weight, loss_weight_gamma=loss_weight_gamma,
             use_labels=use_labels,
         )
         return {"loss": loss, "mse": terms.get("mse", loss)}

@@ -305,3 +305,113 @@ def test_training_losses_xprev_target_is_posterior_mean():
     target = q_posterior_mean_variance(SCHED, x0, seen["x_t"], t)[0]
     expected = masked_mse(target, 0.25 * seen["x_t"], mask)
     assert float(terms["loss"]) == pytest.approx(float(expected), rel=1e-6)
+
+
+class TestSNRLossWeight:
+    """min-SNR / P2 timestep loss weighting (losses.snr_loss_weight)."""
+
+    def test_min_snr_clamps_x0_space_weight(self):
+        from fidm_tpu.diffusion import snr_loss_weight
+
+        t = jnp.arange(0, 100, 7)
+        snr = np.asarray(SCHED.alphas_cumprod / (1 - SCHED.alphas_cumprod))[
+            np.asarray(t)]
+        w = np.asarray(snr_loss_weight(SCHED, t, ModelMeanType.START_X,
+                                       "min_snr", gamma=5.0))
+        np.testing.assert_allclose(w, np.minimum(snr, 5.0), rtol=1e-6)
+        # eps weight is the x0 weight divided by SNR; <= 1 everywhere
+        w_eps = np.asarray(snr_loss_weight(SCHED, t, ModelMeanType.EPSILON,
+                                           "min_snr", gamma=5.0))
+        np.testing.assert_allclose(w_eps, np.minimum(snr, 5.0) / snr,
+                                   rtol=1e-6)
+        assert np.all(w_eps <= 1.0 + 1e-6)
+
+    @pytest.mark.parametrize("kind", ["min_snr", "p2"])
+    def test_weighting_is_parameterization_invariant(self, kind):
+        """An eps-model and the x0-/v-models computing the SAME denoiser
+        must receive the SAME weighted loss — the weights convert between
+        the parameterizations' native MSE scales exactly."""
+        key = jax.random.PRNGKey(7)
+        x0 = _rand(11, 3, 8, 8, 3)
+        mask = jnp.ones((3, 8, 8, 1))
+        t = jnp.array([5, 40, 90])
+        eps_hat = 0.3 * _rand(12, 3, 8, 8, 3)
+        losses = {}
+        seen = {}
+
+        def run(mean_type, out_fn):
+            def model_fn(x_t, tt, mi, m):
+                seen["x_t"] = x_t
+                return out_fn(x_t, tt)
+
+            return float(training_losses(
+                SCHED, model_fn, x0, t, key, mask=mask, use_injection=False,
+                var_type=ModelVarType.FIXED_SMALL, mean_type=mean_type,
+                loss_weight=kind,
+            )["loss"])
+
+        losses["eps"] = run(ModelMeanType.EPSILON, lambda x_t, tt: eps_hat)
+        losses["x0"] = run(
+            ModelMeanType.START_X,
+            lambda x_t, tt: predict_xstart_from_eps(SCHED, x_t, tt, eps_hat))
+
+        def v_from_eps(x_t, tt):
+            x0_hat = predict_xstart_from_eps(SCHED, x_t, tt, eps_hat)
+            return gd.velocity_from_eps_xstart(SCHED, tt, eps_hat, x0_hat)
+
+        losses["v"] = run(ModelMeanType.VELOCITY, v_from_eps)
+        assert losses["eps"] == pytest.approx(losses["x0"], rel=1e-4)
+        assert losses["eps"] == pytest.approx(losses["v"], rel=1e-4)
+
+    def test_unweighted_matches_none(self):
+        from fidm_tpu.diffusion import snr_loss_weight
+
+        t = jnp.array([3, 50])
+        w = np.asarray(snr_loss_weight(SCHED, t, ModelMeanType.EPSILON,
+                                       "none"))
+        np.testing.assert_array_equal(w, np.ones(2, np.float32))
+
+    def test_xprev_rejected(self):
+        from fidm_tpu.diffusion import snr_loss_weight
+
+        with pytest.raises(ValueError, match="xprev"):
+            snr_loss_weight(SCHED, jnp.array([1]), ModelMeanType.PREVIOUS_X,
+                            "min_snr")
+
+    def test_train_step_runs_with_min_snr(self):
+        """End-to-end: make_train_step(loss_weight=...) compiles and takes
+        a finite step that differs from the unweighted loss."""
+        import optax
+
+        from fidm_tpu.models import InpaintingUNet, UNetConfig
+        from fidm_tpu.training import (TrainState, make_optimizer,
+                                       make_train_step)
+
+        cfg = UNetConfig(image_size=8, in_channels=9, model_channels=32,
+                         out_channels=6, num_res_blocks=1,
+                         attention_resolutions=(), channel_mult=(1,),
+                         num_heads=1, num_head_channels=32,
+                         dtype=jnp.float32)
+        model = InpaintingUNet(cfg)
+        variables = model.init(
+            jax.random.PRNGKey(0), jnp.zeros((1, 8, 8, 3)),
+            jnp.zeros((1,), jnp.int32), jnp.zeros((1, 8, 8, 3)),
+            jnp.ones((1, 8, 8, 1)))
+        img = _rand(21, 2, 8, 8, 3) * 0.5
+        mask = jnp.zeros((2, 8, 8, 1)).at[:, :4].set(1.0)
+        batch = {"image": img, "masked_image": img * (1 - mask),
+                 "mask": mask}
+        key = jax.random.PRNGKey(3)
+
+        def step_loss(**kw):
+            state = TrainState.create(
+                apply_fn=model.apply, params=variables["params"],
+                tx=make_optimizer(optax.constant_schedule(1e-3)))
+            step = make_train_step(SCHED, donate=False, **kw)
+            new_state, m = step(state, batch, key)
+            assert np.isfinite(float(m["loss"]))
+            return float(m["loss"])
+
+        plain = step_loss()
+        weighted = step_loss(loss_weight="min_snr", loss_weight_gamma=5.0)
+        assert weighted != plain
