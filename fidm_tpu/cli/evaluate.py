@@ -229,10 +229,12 @@ def main(argv=None):
 
         pipe = InpaintingPipeline.create(config,
                                          key=jax.random.PRNGKey(args.seed))
-        params = CheckpointManager(ckpt).restore_params(
+        _mgr = CheckpointManager(ckpt)
+        params = _mgr.restore_params(
             "best" if os.path.isdir(os.path.join(ckpt, "best")) else "latest",
             prefer_ema=args.use_ema,
         )
+        _mgr.close()
         if isinstance(params, dict) and "__meta__" in params:
             # LoRA training checkpoint: only the adapter pytree is stored;
             # merge it onto the frozen base cli.train saved alongside
@@ -304,7 +306,7 @@ def main(argv=None):
     timer = StepTimer()
     reals, fakes = [], []
     ssims, psnrs, lpips_vals = [], [], []
-    hole_ssims, hole_psnrs = [], []
+    hole_ssims, hole_psnrs, hole_lpips = [], [], []
     lpips_fn = None
     if args.lpips_alexnet and args.lpips_lin:
         lpips_fn = LPIPS.from_torch_files(args.lpips_alexnet, args.lpips_lin)
@@ -360,6 +362,10 @@ def main(argv=None):
             float(v) if ok else None for v, ok in zip(hp, scorable_psnr))
         if lpips_fn is not None:
             lpips_vals.extend(lpips_fn(gt, out).tolist())
+            hl = lpips_fn.masked(gt, out, m)
+            hole_lpips.extend(
+                float(v) if ok else None
+                for v, ok in zip(hl, scorable_psnr))
         reals.append(gt01)
         fakes.append(out01)
 
@@ -449,6 +455,9 @@ def main(argv=None):
         results["kid_mean"], results["kid_std"] = kid
     if lpips_vals:
         results["lpips_mean"] = float(np.mean(lpips_vals))
+        if any(v is not None for v in hole_lpips):
+            results["hole_lpips_mean"] = float(
+                np.mean([v for v in hole_lpips if v is not None]))
     with open(os.path.join(args.output_dir, "metrics.txt"), "w") as f:
         for k, v in results.items():
             f.write(f"{k}: {v}\n")
@@ -459,6 +468,7 @@ def main(argv=None):
                   "hole_psnr": hole_psnrs}
     if lpips_vals:
         per_sample["lpips"] = lpips_vals
+        per_sample["hole_lpips"] = hole_lpips
     with open(os.path.join(args.output_dir, "metrics.json"), "w") as f:
         json.dump({**results, "per_sample": per_sample}, f, indent=2)
     print(json.dumps(results, indent=2))

@@ -96,6 +96,30 @@ class LPIPS:
 
         self._distance = distance
 
+        @jax.jit
+        def masked_distance(x, y, mask):
+            # hole-region LPIPS (extension beyond the lpips package, which
+            # has no mask support): the plain spatial mean becomes a
+            # mask-weighted mean per tap, the mask bilinearly resized to
+            # each tap's receptive grid. With mask == 1 this reduces
+            # exactly to `distance`.
+            fx = self._features(x)
+            fy = self._features(y)
+            m = mask.astype(jnp.float32)
+            total = 0.0
+            for a, b, lin in zip(fx, fy, self.weights["lins"]):
+                a = a / (jnp.sqrt(jnp.sum(a**2, -1, keepdims=True)) + 1e-10)
+                b = b / (jnp.sqrt(jnp.sum(b**2, -1, keepdims=True)) + 1e-10)
+                d = ((a - b) ** 2 * lin).sum(-1)  # [B, h, w]
+                mk = jax.image.resize(
+                    m, (m.shape[0],) + a.shape[1:3] + (1,), "linear"
+                )[..., 0]
+                total = total + (d * mk).sum((1, 2)) / jnp.maximum(
+                    mk.sum((1, 2)), 1e-6)
+            return total
+
+        self._masked_distance = masked_distance
+
     def _features(self, x):
         """x: [B,H,W,3] in [-1,1] -> list of 5 NHWC feature maps."""
         h = (x - jnp.asarray(_SHIFT)) / jnp.asarray(_SCALE)
@@ -120,6 +144,16 @@ class LPIPS:
         """Perceptual distance per batch element; inputs [-1,1] NHWC."""
         return np.asarray(self._distance(jnp.asarray(img1, jnp.float32),
                                          jnp.asarray(img2, jnp.float32)))
+
+    def masked(self, img1, img2, mask) -> np.ndarray:
+        """Hole-region perceptual distance: the per-tap spatial mean is
+        weighted by `mask` ([B,H,W,1], 1 = hole) resized to each tap's
+        grid. With blending on, whole-image LPIPS is diluted by the ~90%
+        of pixels copied from GT — this scores only the generated region.
+        mask == 1 everywhere reproduces `__call__` exactly."""
+        return np.asarray(self._masked_distance(
+            jnp.asarray(img1, jnp.float32), jnp.asarray(img2, jnp.float32),
+            jnp.asarray(mask, jnp.float32)))
 
     @classmethod
     def from_torch_files(cls, alexnet_path: str, lpips_path: str) -> "LPIPS":

@@ -37,6 +37,7 @@ TINY_MODEL = [
 def test_evaluate_cli_quick_test(data_tree, tmp_path):
     import torch
     from oracle_fid_inception import FIDInceptionOracle, randomize
+    from oracle_lpips import LPIPSOracle
 
     from fidm_tpu.cli.evaluate import main
 
@@ -44,10 +45,16 @@ def test_evaluate_cli_quick_test(data_tree, tmp_path):
     out_dir = str(tmp_path / "results")
     fid_w = str(tmp_path / "pt_inception.pth")
     torch.save(randomize(FIDInceptionOracle(), seed=0).state_dict(), fid_w)
+    oracle = LPIPSOracle()
+    alex_w = str(tmp_path / "alexnet.pth")
+    lin_w = str(tmp_path / "lpips_lin.pt")
+    torch.save(oracle.alexnet_state_dict(), alex_w)
+    torch.save(oracle.lpips_state_dict(), lin_w)
     results = main([
         "--data_dir", img_dir, "--mask_dir", mask_dir,
         "--output_dir", out_dir, "--quick_test", "--diffusion_steps", "100",
         "--fid_weights", fid_w,
+        "--lpips_alexnet", alex_w, "--lpips_lin", lin_w,
         *TINY_MODEL,
     ])
     assert results["num_samples"] == 6
@@ -58,6 +65,11 @@ def test_evaluate_cli_quick_test(data_tree, tmp_path):
     # KID rides the same features (unbiased companion metric)
     assert np.isfinite(results["kid_mean"])
     assert np.isfinite(results["kid_std"])
+    # LPIPS path incl. the hole-region variant (masked spatial mean)
+    assert np.isfinite(results["lpips_mean"])
+    assert np.isfinite(results["hole_lpips_mean"])
+    per = json.load(open(os.path.join(out_dir, "metrics.json")))["per_sample"]
+    assert len(per["hole_lpips"]) == 6
     # hole-region metrics (the hole is the product)
     assert np.isfinite(results["hole_ssim_mean"])
     assert np.isfinite(results["hole_psnr_mean"])

@@ -232,3 +232,33 @@ def test_kid_small_sets_computed_exactly_once():
     mean, std = kid_from_features(real, fake)  # default subset size 1000
     assert std == 0.0
     assert mean == pytest.approx(polynomial_mmd2(real, fake), rel=1e-12)
+
+
+def test_masked_lpips_full_mask_equals_unmasked():
+    """mask == 1 everywhere must reproduce the plain LPIPS exactly (the
+    weighted mean degenerates to the spatial mean)."""
+    lp = LPIPS()  # proxy weights; the masking math is weight-agnostic
+    rng = np.random.default_rng(0)
+    a = rng.uniform(-1, 1, (2, 64, 64, 3)).astype(np.float32)
+    b = rng.uniform(-1, 1, (2, 64, 64, 3)).astype(np.float32)
+    full = np.ones((2, 64, 64, 1), np.float32)
+    np.testing.assert_allclose(lp.masked(a, b, full), lp(a, b),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_masked_lpips_scores_hole_not_background():
+    """With differences confined to the hole and GT copied elsewhere
+    (the blended-output case), hole-LPIPS must exceed whole-image LPIPS
+    (which dilutes over the untouched 75% of pixels)."""
+    lp = LPIPS()
+    rng = np.random.default_rng(1)
+    gt = rng.uniform(-1, 1, (2, 64, 64, 3)).astype(np.float32)
+    mask = np.zeros((2, 64, 64, 1), np.float32)
+    mask[:, 16:48, 16:48] = 1.0
+    out = gt * (1 - mask) + np.clip(
+        gt + rng.normal(0, 0.8, gt.shape).astype(np.float32), -1, 1) * mask
+    hole = lp.masked(gt, out, mask)
+    whole = lp(gt, out)
+    assert np.all(hole > whole)
+    # and an identical pair scores ~0 in the hole too
+    np.testing.assert_allclose(lp.masked(gt, gt, mask), 0.0, atol=1e-6)
