@@ -175,8 +175,14 @@ def main(argv=None):
         teacher = model.init(key, zx, jnp.zeros((1,), jnp.int32), zx,
                              jnp.ones((1, S, S, 1)))["params"]
     elif os.path.isdir(args.checkpoint):
-        teacher = CheckpointManager(args.checkpoint).restore_params(
-            "latest", prefer_ema=args.use_ema)
+        # same resolution as cli.evaluate: the best-loss snapshot when the
+        # training run tracked one, else the latest
+        _mgr = CheckpointManager(args.checkpoint)
+        teacher = _mgr.restore_params(
+            "best" if os.path.isdir(os.path.join(args.checkpoint, "best"))
+            else "latest",
+            prefer_ema=args.use_ema)
+        _mgr.close()
     else:
         from ..models.torch_import import load_torch_checkpoint
 

@@ -42,7 +42,10 @@ def _load_params(args, cfg):
 
         which = args.which or ("best" if os.path.isdir(
             os.path.join(ckpt, "best")) else "latest")
-        return CheckpointManager(ckpt).restore_params(which)
+        mgr = CheckpointManager(ckpt)
+        params = mgr.restore_params(which)
+        mgr.close()
+        return params
     if ckpt.endswith(".npz"):
         from ..quant import dequantize_params
         from .quantize import load_quantized

@@ -57,10 +57,16 @@ def frechet_distance(mu1, sigma1, mu2, sigma2, eps: float = 1e-6) -> float:
     sigma1, sigma2 = np.atleast_2d(sigma1), np.atleast_2d(sigma2)
     diff = mu1 - mu2
 
-    covmean, _ = linalg.sqrtm(sigma1.dot(sigma2), disp=False)
+    def _sqrtm(a):
+        # scipy >= 1.16 deprecates disp= and returns the array alone;
+        # older versions return (sqrtm, errest) with disp=False
+        res = linalg.sqrtm(a)
+        return res[0] if isinstance(res, tuple) else res
+
+    covmean = _sqrtm(sigma1.dot(sigma2))
     if not np.isfinite(covmean).all():
         offset = np.eye(sigma1.shape[0]) * eps
-        covmean = linalg.sqrtm((sigma1 + offset).dot(sigma2 + offset))
+        covmean = _sqrtm((sigma1 + offset).dot(sigma2 + offset))
     if np.iscomplexobj(covmean):
         covmean = covmean.real
     return float(diff.dot(diff) + np.trace(sigma1) + np.trace(sigma2)

@@ -270,8 +270,13 @@ class InpaintingPipeline:
             if aot is not None:
                 return aot(self.variables, gt, mask, key)
         if cache_key not in self._jitted:
-            self._jitted[cache_key] = self._make_jit(cfg, cond_fn)
-        fn = self._jitted[cache_key]
+            # store cond_fn alongside the program: the key uses id(cond_fn),
+            # and ids are reused after GC — a dead closure's id matching a
+            # NEW closure would silently return the OLD compiled guidance.
+            # Pinning the closure for the cache entry's lifetime makes the
+            # id collision impossible.
+            self._jitted[cache_key] = (self._make_jit(cfg, cond_fn), cond_fn)
+        fn, _ = self._jitted[cache_key]
         if self._xla_attention:
             from .ops.registry import pallas_override
 

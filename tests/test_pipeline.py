@@ -192,3 +192,9 @@ def test_pipeline_cond_fn_cache_bounded():
     guided = [k for k in pipe._jitted if k[2] is not None]
     assert len(guided) == 4  # bounded
     assert len(pipe._jitted) == 5  # unguided program untouched
+    # each surviving entry pins its cond_fn: the cache key uses id(cond_fn),
+    # and without a live reference a GC'd closure's id could be recycled by
+    # a NEW closure, silently dispatching to the wrong compiled guidance
+    for k in guided:
+        _, pinned = pipe._jitted[k]
+        assert pinned is not None and id(pinned) == k[2]
