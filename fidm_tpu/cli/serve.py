@@ -18,6 +18,15 @@ def parse_args(argv=None):
                         "up to batch_size); shallow queues use the smallest "
                         "fitting shape for low latency")
     p.add_argument("--max_wait_ms", type=float, default=20.0)
+    p.add_argument("--no_adaptive_wait", action="store_true",
+                   help="always wait out max_wait_ms before dispatching "
+                        "(default: the window is only armed while the "
+                        "previous batch was full, so low-load requests "
+                        "dispatch immediately)")
+    p.add_argument("--compress_responses", action="store_true",
+                   help="zlib-compress response npz (costs tens of ms of "
+                        "single-core CPU per response for <2x on float "
+                        "image data; default off)")
     p.add_argument("--base_seed", type=int, default=0,
                    help="deterministic per-request seed base")
     # dpm-25-sde: DDIM-100-class quality at 1/4 the model evaluations,
@@ -72,6 +81,8 @@ def main(argv=None):
         batch_sizes=tuple(args.batch_sizes) if args.batch_sizes else None,
         base_seed=args.base_seed, warmup=True,
         program_cache_dir=args.program_cache,
+        compress_responses=args.compress_responses,
+        adaptive_wait=not args.no_adaptive_wait,
     )
     print(f"serving on http://{args.host}:{args.port} "
           f"(batch sizes {dispatcher.batch_sizes}, preset {args.preset})")

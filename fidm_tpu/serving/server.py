@@ -23,6 +23,13 @@ a deterministic per-request counter, and every request's seed (default or
 explicit) folds into its batch's PRNG key — identical request streams
 reproduce identical results; full per-request seed isolation requires
 batch_size=1.
+
+Batching wait is LOAD-ADAPTIVE: the `max_wait_ms` accumulation window is
+only armed while the previous dispatch filled the ladder's top batch
+(saturation) — at low load a lone request dispatches immediately instead of
+paying the full window every time, and batching still happens under load
+because requests queue up while the device is busy (execution itself is the
+backpressure).
 """
 from __future__ import annotations
 
@@ -60,9 +67,14 @@ class InpaintingServer:
                  max_wait_ms: float = 20.0,
                  batch_sizes: Optional[tuple] = None,
                  base_seed: int = 0,
-                 program_cache_dir: Optional[str] = None):
+                 program_cache_dir: Optional[str] = None,
+                 compress_responses: bool = False,
+                 adaptive_wait: bool = True):
         self.pipeline = pipeline
         self.program_cache_dir = program_cache_dir
+        # zlib over float32 image data buys little (<2x) and costs tens of
+        # ms of single-core CPU per response — off by default
+        self.compress_responses = compress_responses
         self.batch_size = batch_size
         self.max_wait_ms = max_wait_ms
         # compiled-shape ladder: smallest size >= queue depth is used, so a
@@ -83,6 +95,14 @@ class InpaintingServer:
         self.stats = {"requests": 0, "batches": 0,
                       "batches_by_size": {s: 0 for s in self.batch_sizes}}
         self._stop = threading.Event()
+        # adaptive_wait=True arms the max_wait_ms window only under
+        # saturation (see module docstring); False always waits it out —
+        # the pre-round-3 behavior, useful when clients are known to arrive
+        # in synchronized bursts from a cold dispatcher
+        self.adaptive_wait = adaptive_wait
+        # True after a dispatch that filled the top batch size — the signal
+        # that arrivals outpace the device and the accumulation window pays
+        self._saturated = False
         self._thread = threading.Thread(target=self._dispatch_loop,
                                         daemon=True)
         self._thread.start()
@@ -172,6 +192,18 @@ class InpaintingServer:
             batch = [first]
             deadline = time.perf_counter() + self.max_wait_ms / 1000.0
             while len(batch) < self.batch_size:
+                try:
+                    # whatever already queued up (e.g. while the device ran
+                    # the previous batch) joins for free
+                    batch.append(self.queue.get_nowait())
+                    continue
+                except queue.Empty:
+                    pass
+                # queue drained: wait out the accumulation window only under
+                # saturation — at low load an artificial wait just adds
+                # max_wait_ms to every request's latency
+                if self.adaptive_wait and not self._saturated:
+                    break
                 timeout = deadline - time.perf_counter()
                 if timeout <= 0:
                     break
@@ -179,6 +211,7 @@ class InpaintingServer:
                     batch.append(self.queue.get(timeout=timeout))
                 except queue.Empty:
                     break
+            self._saturated = len(batch) >= self.batch_size
             # the dispatcher is the single point of failure for every
             # in-flight request: it must survive ANY per-batch error (a
             # dead loop would hang all future clients until their timeout)
@@ -272,7 +305,10 @@ def _make_handler(server: InpaintingServer):
                 fut = server.submit(data["image"], data["mask"], seed)
                 result = fut.result(timeout=600)
                 buf = io.BytesIO()
-                np.savez_compressed(buf, image=result)
+                if server.compress_responses:
+                    np.savez_compressed(buf, image=result)
+                else:
+                    np.savez(buf, image=result)
                 body = buf.getvalue()
                 self.send_response(200)
                 self.send_header("Content-Type", "application/octet-stream")
@@ -302,13 +338,16 @@ def _make_handler(server: InpaintingServer):
 def serve(pipeline, host: str = "127.0.0.1", port: int = 8571,
           batch_size: int = 8, max_wait_ms: float = 20.0,
           batch_sizes: Optional[tuple] = None, base_seed: int = 0,
-          warmup: bool = False, program_cache_dir: Optional[str] = None):
+          warmup: bool = False, program_cache_dir: Optional[str] = None,
+          compress_responses: bool = False, adaptive_wait: bool = True):
     """Start the HTTP server; returns (httpd, dispatcher) — call
     httpd.serve_forever() (or run it in a thread for tests)."""
     dispatcher = InpaintingServer(pipeline, batch_size, max_wait_ms,
                                   batch_sizes=batch_sizes,
                                   base_seed=base_seed,
-                                  program_cache_dir=program_cache_dir)
+                                  program_cache_dir=program_cache_dir,
+                                  compress_responses=compress_responses,
+                                  adaptive_wait=adaptive_wait)
     if warmup:
         dispatcher.warmup()
     httpd = ThreadingHTTPServer((host, port), _make_handler(dispatcher))

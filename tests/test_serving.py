@@ -40,7 +40,12 @@ def _sample_input(seed=0):
 
 
 def test_dispatcher_batches_concurrent_requests(pipeline):
-    server = InpaintingServer(pipeline, batch_size=4, max_wait_ms=200)
+    # adaptive_wait off: this test submits its "concurrent" burst from one
+    # thread into a COLD dispatcher, so grouping needs the unconditional
+    # accumulation window (the adaptive default only arms it under
+    # saturation)
+    server = InpaintingServer(pipeline, batch_size=4, max_wait_ms=200,
+                              adaptive_wait=False)
     try:
         inputs = [_sample_input(i) for i in range(4)]
         futures = [server.submit(im, m, seed=0) for im, m in inputs]
@@ -122,7 +127,8 @@ def test_http_round_trip(pipeline):
 def test_dispatcher_uses_small_compiled_shape(pipeline):
     """A lone request rides the batch-1 program, not a padded batch-8 one;
     a burst rides the full size (VERDICT r1 #7: low-latency path)."""
-    server = InpaintingServer(pipeline, batch_size=4, max_wait_ms=10)
+    server = InpaintingServer(pipeline, batch_size=4, max_wait_ms=10,
+                              adaptive_wait=False)
     try:
         assert server.batch_sizes == (1, 2, 4)
         im, m = _sample_input(3)
@@ -134,6 +140,24 @@ def test_dispatcher_uses_small_compiled_shape(pipeline):
         futs = [server.submit(*_sample_input(i), seed=0) for i in range(4)]
         [f.result(timeout=300) for f in futs]
         assert server.stats["batches_by_size"][4] == 1
+    finally:
+        server.close()
+
+
+def test_dispatcher_adaptive_wait_skips_window_at_low_load(pipeline):
+    """With the adaptive default, a lone request from a cold dispatcher
+    does NOT pay the accumulation window: even a huge max_wait_ms adds
+    nothing once the program is compiled."""
+    import time
+
+    server = InpaintingServer(pipeline, batch_size=4, max_wait_ms=5000)
+    try:
+        im, m = _sample_input(5)
+        server.submit(im, m, seed=1).result(timeout=300)  # compile batch-1
+        t0 = time.perf_counter()
+        server.submit(im, m, seed=2).result(timeout=300)
+        assert time.perf_counter() - t0 < 4.0  # << the 5 s window
+        assert server.stats["batches"] == 2  # each dispatched immediately
     finally:
         server.close()
 
@@ -236,7 +260,10 @@ def test_explicit_request_seed_changes_batch_result(pipeline):
     """Regression: every request's seed folds into the batch key — a
     non-first request's explicit seed must affect the output."""
     def run(seed_b):
-        server = InpaintingServer(pipeline, batch_size=2, max_wait_ms=500)
+        # deterministic two-request batch: without the unconditional window
+        # the batch composition (and thus the folded key) would be a race
+        server = InpaintingServer(pipeline, batch_size=2, max_wait_ms=500,
+                                  adaptive_wait=False)
         try:
             f1 = server.submit(*_sample_input(0), seed=1)
             f2 = server.submit(*_sample_input(1), seed=seed_b)
