@@ -36,6 +36,10 @@ def main():
                         "(save conv/attn outputs, recompute the cheap glue)")
     p.add_argument("--accum", type=int, default=1,
                    help="gradient-accumulation microbatches")
+    p.add_argument("--loss_weight", default="none",
+                   choices=["none", "min_snr", "p2"],
+                   help="timestep loss weighting (expected throughput-free:"
+                        " one gather + per-sample multiply)")
     args = p.parse_args()
 
     from fidm_tpu.diffusion import DiffusionSchedule
@@ -63,7 +67,8 @@ def main():
         apply_fn=lambda v, *a: model.apply(v, *a),
         params=variables["params"], tx=tx,
     )
-    step = make_train_step(sched, accum_steps=args.accum)
+    step = make_train_step(sched, accum_steps=args.accum,
+                           loss_weight=args.loss_weight)
 
     t0 = time.perf_counter()
     state, metrics = step(state, batch, key)
@@ -81,7 +86,8 @@ def main():
     per_step = dt / args.steps
     print(f"compile {compile_s:.1f} s   loss0 {loss0:.4f} -> {final:.4f}")
     tags = (f", remat:{args.remat_policy}" if args.remat else "") + (
-        f", accum {args.accum}" if args.accum > 1 else "")
+        f", accum {args.accum}" if args.accum > 1 else "") + (
+        f", {args.loss_weight}" if args.loss_weight != "none" else "")
     print(f"train step ({S}^2, batch {B}{tags}): "
           f"{per_step * 1e3:.1f} ms/step = {B / per_step:.2f} img/s/chip")
 
