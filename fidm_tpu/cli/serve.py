@@ -34,6 +34,15 @@ def parse_args(argv=None):
     # (prediction-error amplification, docs/TUNING.md), and serving sees
     # arbitrary client masks, so the SDE variant is the safe default
     p.add_argument("--preset", default="dpm-25-sde")
+    p.add_argument("--presets", nargs="+", default=None,
+                   help="serve several sampler presets side by side as "
+                        "per-request quality tiers (npz field 'preset'); "
+                        "the FIRST is the default for unmarked requests "
+                        "and overrides --preset. Each (preset, batch "
+                        "shape) is one compiled program — warmup scales "
+                        "accordingly. Example: --presets dpm-25-sde "
+                        "consistency-1 serves 'final' and 'preview' tiers "
+                        "from one deployment")
     p.add_argument("--program_cache", default=None,
                    help="directory of AOT-serialized XLA programs: restart "
                         "in seconds instead of recompiling the batch-shape "
@@ -61,6 +70,12 @@ def main(argv=None):
     from ..serving import serve
 
     args = parse_args(argv)
+    names = args.presets or [args.preset]
+    unknown = [n for n in names if n not in SAMPLER_PRESETS]
+    if unknown:
+        raise SystemExit(f"unknown presets: {unknown} "
+                         f"(available: {sorted(SAMPLER_PRESETS)})")
+    presets = {n: SAMPLER_PRESETS[n] for n in names}
     config = PipelineConfig(
         unet=ffhq256_config(
             image_size=args.image_size,
@@ -72,7 +87,7 @@ def main(argv=None):
         ),
         schedule=args.schedule,
         num_timesteps=args.diffusion_steps,
-        sampler=SAMPLER_PRESETS[args.preset],
+        sampler=presets[names[0]],
     )
     pipe = InpaintingPipeline.create(config, checkpoint=args.checkpoint)
     print("compiling serving graphs (all batch shapes)...")
@@ -83,9 +98,11 @@ def main(argv=None):
         program_cache_dir=args.program_cache,
         compress_responses=args.compress_responses,
         adaptive_wait=not args.no_adaptive_wait,
+        presets=presets,
     )
     print(f"serving on http://{args.host}:{args.port} "
-          f"(batch sizes {dispatcher.batch_sizes}, preset {args.preset})")
+          f"(batch sizes {dispatcher.batch_sizes}, presets {names}, "
+          f"default {names[0]})")
     try:
         httpd.serve_forever()
     finally:

@@ -8,15 +8,20 @@ request with its own result.
 
 Protocol (POST /inpaint):
   body: npz with `image` [H,W,3] float32 in [-1,1] and `mask` [H,W,1]
-        (1 = hole); optional scalar `seed`.
+        (1 = hole); optional scalar `seed`; optional string `preset` —
+        one of the server's configured sampler presets (quality tiers:
+        e.g. a consistency-1 "preview" and a dpm-25-sde "final" from the
+        SAME deployment and weights).
   response: npz with `image` [H,W,3] — the inpainted result.
-GET /healthz returns {"status": "ok", "batch_size": N, ...}.
+GET /healthz returns {"status": "ok", "batch_size": N, "presets": [...]}.
 
 Design: request threads enqueue (arrays, Future); a single dispatcher thread
-drains up to `batch_size` items, picks the smallest *compiled* batch shape
-that fits (a short ladder of power-of-two sizes, e.g. 1/2/4/8 — each a
-separate cached XLA program), pads the tail with repeats, runs the pipeline,
-and resolves the futures. Shallow queues therefore ride a small-batch
+drains up to `batch_size` items OF ONE PRESET (a device batch runs one
+compiled program; mixed presets stay queued in order and form the next
+batches), picks the smallest *compiled* batch shape that fits (a short
+ladder of power-of-two sizes, e.g. 1/2/4/8 — each a separate cached XLA
+program per preset), pads the tail with repeats, runs the pipeline, and
+resolves the futures. Shallow queues therefore ride a small-batch
 program at small-batch latency instead of paying for a padded batch-8 run;
 deep queues still saturate the chip at the full batch size. Seeds default to
 a deterministic per-request counter, and every request's seed (default or
@@ -33,16 +38,16 @@ backpressure).
 """
 from __future__ import annotations
 
+import collections
 import io
 import itertools
 import os
 import json
-import queue
 import threading
 import time
 from concurrent.futures import Future
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
-from typing import Optional
+from typing import Dict, Optional
 
 import jax
 import numpy as np
@@ -51,12 +56,13 @@ __all__ = ["InpaintingServer", "serve"]
 
 
 class _Request:
-    __slots__ = ("image", "mask", "seed", "future")
+    __slots__ = ("image", "mask", "seed", "preset", "future")
 
-    def __init__(self, image, mask, seed):
+    def __init__(self, image, mask, seed, preset):
         self.image = image
         self.mask = mask
         self.seed = seed
+        self.preset = preset
         self.future: Future = Future()
 
 
@@ -69,8 +75,19 @@ class InpaintingServer:
                  base_seed: int = 0,
                  program_cache_dir: Optional[str] = None,
                  compress_responses: bool = False,
-                 adaptive_wait: bool = True):
+                 adaptive_wait: bool = True,
+                 presets: Optional[Dict] = None):
         self.pipeline = pipeline
+        # sampler quality tiers served side by side: name -> SamplerConfig.
+        # The FIRST entry is the default for requests that name none; each
+        # (preset, batch shape) pair is its own compiled program, and a
+        # device batch only ever carries one preset.
+        if presets is None:
+            presets = {"default": pipeline.config.sampler}
+        if not presets:
+            raise ValueError("presets must not be empty")
+        self.presets = dict(presets)
+        self.default_preset = next(iter(self.presets))
         self.program_cache_dir = program_cache_dir
         # zlib over float32 image data buys little (<2x) and costs tens of
         # ms of single-core CPU per response — off by default
@@ -91,9 +108,14 @@ class InpaintingServer:
             raise ValueError("batch_sizes must include batch_size")
         self.base_seed = base_seed
         self._seed_counter = itertools.count(1)  # atomic in CPython
-        self.queue: "queue.Queue[_Request]" = queue.Queue()
+        # pending requests: a deque under a condition variable (instead of
+        # queue.Queue) so the dispatcher can drain BY PRESET without
+        # reordering other presets' requests
+        self._pending: "collections.deque[_Request]" = collections.deque()
+        self._cv = threading.Condition()
         self.stats = {"requests": 0, "batches": 0,
-                      "batches_by_size": {s: 0 for s in self.batch_sizes}}
+                      "batches_by_size": {s: 0 for s in self.batch_sizes},
+                      "requests_by_preset": {p: 0 for p in self.presets}}
         self._stop = threading.Event()
         # adaptive_wait=True arms the max_wait_ms window only under
         # saturation (see module docstring); False always waits it out —
@@ -108,12 +130,19 @@ class InpaintingServer:
         self._thread.start()
 
     def submit(self, image: np.ndarray, mask: np.ndarray,
-               seed: Optional[int] = None) -> Future:
+               seed: Optional[int] = None,
+               preset: Optional[str] = None) -> Future:
         S = self.pipeline.config.unet.image_size
         if image.shape != (S, S, 3):
             raise ValueError(f"image must be [{S},{S},3], got {image.shape}")
         if mask.shape != (S, S, 1):
             raise ValueError(f"mask must be [{S},{S},1], got {mask.shape}")
+        if preset is None:
+            preset = self.default_preset
+        elif preset not in self.presets:
+            raise ValueError(
+                f"unknown preset {preset!r}; this server offers "
+                f"{sorted(self.presets)}")
         if seed is None:
             # deterministic by default: base_seed + arrival index
             seed = self.base_seed + next(self._seed_counter)
@@ -123,8 +152,10 @@ class InpaintingServer:
             # client error instead of blowing up the dispatcher thread
             raise ValueError(f"seed must be in [0, 2**32), got {seed}")
         req = _Request(np.asarray(image, np.float32),
-                       np.asarray(mask, np.float32), seed)
-        self.queue.put(req)
+                       np.asarray(mask, np.float32), seed, preset)
+        with self._cv:
+            self._pending.append(req)
+            self._cv.notify()
         return req.future
 
     def warmup(self):
@@ -136,81 +167,99 @@ class InpaintingServer:
         if self.program_cache_dir is not None:
             from . import aot
 
-            n = aot.load_programs(self.pipeline, self.program_cache_dir,
-                                  self.batch_sizes)
-            if n:
-                print(f"AOT program cache: loaded {n}/"
-                      f"{len(self.batch_sizes)} programs")
-            # compile + persist + install whatever wasn't cached, so the
-            # execution loop below never jit-compiles a second copy
-            aot.save_programs(self.pipeline, self.program_cache_dir,
-                              self.batch_sizes)
+            for cfg in self.presets.values():
+                n = aot.load_programs(self.pipeline, self.program_cache_dir,
+                                      self.batch_sizes, sampler=cfg)
+                if n:
+                    print(f"AOT program cache: loaded {n}/"
+                          f"{len(self.batch_sizes)} programs")
+                # compile + persist + install whatever wasn't cached, so the
+                # execution loop below never jit-compiles a second copy
+                aot.save_programs(self.pipeline, self.program_cache_dir,
+                                  self.batch_sizes, sampler=cfg)
         S = self.pipeline.config.unet.image_size
         img = np.zeros((S, S, 3), np.float32)
         msk = np.ones((S, S, 1), np.float32)
-        for s in self.batch_sizes:
-            gt = np.repeat(img[None], s, 0)
-            mask = np.repeat(msk[None], s, 0)
-            try:
-                out = self.pipeline.inpaint(gt, mask, jax.random.PRNGKey(0))
-                # tiny scalar readback forces execution; never pull the full
-                # batch through the (slow) device->host path just to discard
-                float(np.asarray(out[0, 0, 0, 0]))
-            except Exception as e:
-                # a cached AOT executable can deserialize cleanly but fail
-                # at EXECUTION (e.g. an artifact serialized from a
-                # compilation-cache-restored executable on XLA:CPU — the
-                # known-broken combination aot.py works around at save
-                # time). Heal: drop the program + its file, recompile via
-                # the jit path, re-persist a good artifact.
-                cfg = self.pipeline.config.sampler
-                if (self.program_cache_dir is None
-                        or not self.pipeline.uninstall_program(s, cfg)):
-                    raise
-                from . import aot
-
-                path = aot.program_path(self.program_cache_dir,
-                                        self.pipeline, s, cfg)
+        for cfg in self.presets.values():
+            for s in self.batch_sizes:
+                gt = np.repeat(img[None], s, 0)
+                mask = np.repeat(msk[None], s, 0)
                 try:
-                    os.remove(path)
-                except OSError:
-                    pass
-                print(f"AOT program cache: batch-{s} program failed to "
-                      f"execute ({e}); recompiling")
-                out = self.pipeline.inpaint(gt, mask, jax.random.PRNGKey(0))
-                float(np.asarray(out[0, 0, 0, 0]))
-                aot.save_programs(self.pipeline, self.program_cache_dir,
-                                  (s,), overwrite=True)
+                    out = self.pipeline.inpaint(gt, mask,
+                                                jax.random.PRNGKey(0),
+                                                sampler=cfg)
+                    # tiny scalar readback forces execution; never pull the
+                    # full batch through the (slow) device->host path just
+                    # to discard
+                    float(np.asarray(out[0, 0, 0, 0]))
+                except Exception as e:
+                    # a cached AOT executable can deserialize cleanly but
+                    # fail at EXECUTION (e.g. an artifact serialized from a
+                    # compilation-cache-restored executable on XLA:CPU — the
+                    # known-broken combination aot.py works around at save
+                    # time). Heal: drop the program + its file, recompile
+                    # via the jit path, re-persist a good artifact.
+                    if (self.program_cache_dir is None
+                            or not self.pipeline.uninstall_program(s, cfg)):
+                        raise
+                    from . import aot
+
+                    path = aot.program_path(self.program_cache_dir,
+                                            self.pipeline, s, cfg)
+                    try:
+                        os.remove(path)
+                    except OSError:
+                        pass
+                    print(f"AOT program cache: batch-{s} program failed to "
+                          f"execute ({e}); recompiling")
+                    out = self.pipeline.inpaint(gt, mask,
+                                                jax.random.PRNGKey(0),
+                                                sampler=cfg)
+                    float(np.asarray(out[0, 0, 0, 0]))
+                    aot.save_programs(self.pipeline, self.program_cache_dir,
+                                      (s,), sampler=cfg, overwrite=True)
         return self
+
+    def _drain_matching(self, batch, preset):
+        """Move pending same-preset requests into `batch` (caller holds
+        self._cv); other presets keep their queue positions."""
+        i = 0
+        while len(batch) < self.batch_size and i < len(self._pending):
+            if self._pending[i].preset == preset:
+                batch.append(self._pending[i])
+                del self._pending[i]
+            else:
+                i += 1
 
     def _dispatch_loop(self):
         while not self._stop.is_set():
-            try:
-                first = self.queue.get(timeout=0.1)
-            except queue.Empty:
-                continue
-            batch = [first]
-            deadline = time.perf_counter() + self.max_wait_ms / 1000.0
-            while len(batch) < self.batch_size:
-                try:
-                    # whatever already queued up (e.g. while the device ran
-                    # the previous batch) joins for free
-                    batch.append(self.queue.get_nowait())
+            with self._cv:
+                if not self._pending:
+                    self._cv.wait(timeout=0.1)
+                if not self._pending:
                     continue
-                except queue.Empty:
-                    pass
-                # queue drained: wait out the accumulation window only under
-                # saturation — at low load an artificial wait just adds
-                # max_wait_ms to every request's latency
-                if self.adaptive_wait and not self._saturated:
-                    break
-                timeout = deadline - time.perf_counter()
-                if timeout <= 0:
-                    break
-                try:
-                    batch.append(self.queue.get(timeout=timeout))
-                except queue.Empty:
-                    break
+                first = self._pending.popleft()
+                batch = [first]
+                # whatever already queued up (e.g. while the device ran the
+                # previous batch) joins for free — same preset only: one
+                # device batch is one compiled program
+                self._drain_matching(batch, first.preset)
+            # queue drained: wait out the accumulation window only under
+            # saturation — at low load an artificial wait just adds
+            # max_wait_ms to every request's latency
+            if len(batch) < self.batch_size and (
+                    not self.adaptive_wait or self._saturated):
+                deadline = time.perf_counter() + self.max_wait_ms / 1000.0
+                while len(batch) < self.batch_size:
+                    timeout = deadline - time.perf_counter()
+                    if timeout <= 0:
+                        break
+                    with self._cv:
+                        self._drain_matching(batch, first.preset)
+                        if len(batch) >= self.batch_size:
+                            break
+                        self._cv.wait(timeout=timeout)
+                        self._drain_matching(batch, first.preset)
             self._saturated = len(batch) >= self.batch_size
             # the dispatcher is the single point of failure for every
             # in-flight request: it must survive ANY per-batch error (a
@@ -241,10 +290,12 @@ class InpaintingServer:
         key = jax.random.PRNGKey(batch[0].seed)
         for r in batch[1:]:
             key = jax.random.fold_in(key, r.seed)
+        cfg = self.presets[batch[0].preset]
         try:
             # slice the pad rows off ON DEVICE: the device->host path (the
             # tunneled transfer here) only carries the real results
-            out = np.asarray(self.pipeline.inpaint(gt, mask, key)[:n])
+            out = np.asarray(
+                self.pipeline.inpaint(gt, mask, key, sampler=cfg)[:n])
         except Exception as e:  # resolve every waiter with the error
             for r in batch:
                 if not r.future.done():  # a cancelled future would raise
@@ -256,21 +307,22 @@ class InpaintingServer:
         self.stats["requests"] += n
         self.stats["batches"] += 1
         self.stats["batches_by_size"][size] += 1
+        self.stats["requests_by_preset"][batch[0].preset] += n
 
     def close(self):
         """Stop the dispatcher and FAIL any still-pending requests — a
         hung client waiting out its full timeout against a dead dispatcher
         is worse than an immediate error."""
         self._stop.set()
+        with self._cv:
+            self._cv.notify_all()
         self._thread.join(timeout=2)
-        while True:
-            try:
-                req = self.queue.get_nowait()
-            except queue.Empty:
-                break
-            if not req.future.done():
-                req.future.set_exception(
-                    RuntimeError("server shutting down"))
+        with self._cv:
+            while self._pending:
+                req = self._pending.popleft()
+                if not req.future.done():
+                    req.future.set_exception(
+                        RuntimeError("server shutting down"))
 
 
 def _make_handler(server: InpaintingServer):
@@ -283,6 +335,8 @@ def _make_handler(server: InpaintingServer):
                 body = json.dumps({
                     "status": "ok",
                     "batch_size": server.batch_size,
+                    "presets": sorted(server.presets),
+                    "default_preset": server.default_preset,
                     **server.stats,
                 }).encode()
                 self.send_response(200)
@@ -302,7 +356,9 @@ def _make_handler(server: InpaintingServer):
                 data = np.load(io.BytesIO(self.rfile.read(length)),
                                allow_pickle=False)
                 seed = int(data["seed"]) if "seed" in data else None
-                fut = server.submit(data["image"], data["mask"], seed)
+                preset = str(data["preset"]) if "preset" in data else None
+                fut = server.submit(data["image"], data["mask"], seed,
+                                    preset=preset)
                 result = fut.result(timeout=600)
                 buf = io.BytesIO()
                 if server.compress_responses:
@@ -339,7 +395,8 @@ def serve(pipeline, host: str = "127.0.0.1", port: int = 8571,
           batch_size: int = 8, max_wait_ms: float = 20.0,
           batch_sizes: Optional[tuple] = None, base_seed: int = 0,
           warmup: bool = False, program_cache_dir: Optional[str] = None,
-          compress_responses: bool = False, adaptive_wait: bool = True):
+          compress_responses: bool = False, adaptive_wait: bool = True,
+          presets: Optional[Dict] = None):
     """Start the HTTP server; returns (httpd, dispatcher) — call
     httpd.serve_forever() (or run it in a thread for tests)."""
     dispatcher = InpaintingServer(pipeline, batch_size, max_wait_ms,
@@ -347,7 +404,8 @@ def serve(pipeline, host: str = "127.0.0.1", port: int = 8571,
                                   base_seed=base_seed,
                                   program_cache_dir=program_cache_dir,
                                   compress_responses=compress_responses,
-                                  adaptive_wait=adaptive_wait)
+                                  adaptive_wait=adaptive_wait,
+                                  presets=presets)
     if warmup:
         dispatcher.warmup()
     httpd = ThreadingHTTPServer((host, port), _make_handler(dispatcher))
