@@ -30,12 +30,21 @@ def main():
     p.add_argument("--preset", default=None,
                    help="a SAMPLER_PRESETS name (e.g. consistency-1) — "
                         "overrides --method/--steps")
+    p.add_argument("--presets", nargs="+", default=None,
+                   help="serve several preset tiers and fire a MIXED "
+                        "request stream (round-robin across tiers); "
+                        "reports per-tier latency. Overrides --preset")
     p.add_argument("--batch_size", type=int, default=8)
     p.add_argument("--port", type=int, default=8571)
+    p.add_argument("--tiny", action="store_true",
+                   help="16² toy model on CPU — smoke-tests the harness "
+                        "itself (numbers are meaningless)")
     args = p.parse_args()
 
     import jax
 
+    if args.tiny:
+        jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_compilation_cache_dir", "/tmp/fidm_jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
 
@@ -45,18 +54,38 @@ def main():
     from fidm_tpu.serving.server import _make_handler
     from http.server import ThreadingHTTPServer
 
-    if args.preset is not None:
+    presets = None
+    if args.presets is not None:
+        from fidm_tpu.pipeline import SAMPLER_PRESETS
+
+        presets = {n: SAMPLER_PRESETS[n] for n in args.presets}
+        sampler = presets[args.presets[0]]
+    elif args.preset is not None:
         from fidm_tpu.pipeline import SAMPLER_PRESETS
 
         sampler = SAMPLER_PRESETS[args.preset]
     else:
         sampler = SamplerConfig(method=args.method, num_steps=args.steps,
                                 eta=0.9, injection=True)
-    cfg = PipelineConfig(sampler=sampler)
+    if args.tiny:
+        import jax.numpy as jnp
+
+        from fidm_tpu.models import UNetConfig
+
+        cfg = PipelineConfig(
+            unet=UNetConfig(image_size=16, in_channels=9, model_channels=32,
+                            out_channels=6, num_res_blocks=1,
+                            attention_resolutions=(2,), channel_mult=(1, 2),
+                            num_heads=2, num_head_channels=16,
+                            dtype=jnp.float32),
+            schedule="linear", num_timesteps=50, sampler=sampler)
+    else:
+        cfg = PipelineConfig(sampler=sampler)
     pipe = InpaintingPipeline.create(cfg)
     S = cfg.unet.image_size
 
-    server = InpaintingServer(pipe, batch_size=args.batch_size)
+    server = InpaintingServer(pipe, batch_size=args.batch_size,
+                              presets=presets)
     print(f"warming batch shapes {server.batch_sizes}...", flush=True)
     server.warmup()  # compile the whole shape ladder before measuring
     httpd = ThreadingHTTPServer(("127.0.0.1", args.port),
@@ -69,43 +98,49 @@ def main():
                     -1, 1)
     mask = np.zeros((S, S, 1), np.float32)
     mask[S // 4 : 3 * S // 4, S // 4 : 3 * S // 4] = 1.0
-    buf = io.BytesIO()
-    np.savez(buf, image=image, mask=mask, seed=np.int64(0))
-    payload = buf.getvalue()
+    tier_names = list(presets) if presets else [None]
+    payloads = {}
+    for name in tier_names:
+        buf = io.BytesIO()
+        extra = {"preset": name} if name is not None else {}
+        np.savez(buf, image=image, mask=mask, seed=np.int64(0), **extra)
+        payloads[name] = buf.getvalue()
 
-    def post():
-        req = urllib.request.Request(url, data=payload, method="POST")
+    def post(tier=None):
+        req = urllib.request.Request(url, data=payloads[tier], method="POST")
         with urllib.request.urlopen(req, timeout=600) as r:
             out = np.load(io.BytesIO(r.read()))["image"]
         assert out.shape == (S, S, 3) and np.isfinite(out).all()
 
-    post()  # warm: compiles the device batch program
+    for name in tier_names:
+        post(name)  # warm every tier's device batch program
 
-    latencies = []
+    latencies = {name: [] for name in tier_names}
     lock = threading.Lock()
     sem = threading.Semaphore(args.concurrency)
     threads = []
 
     t0 = time.perf_counter()
 
-    def worker():
+    def worker(i):
+        tier = tier_names[i % len(tier_names)]  # round-robin mixed stream
         with sem:
             t = time.perf_counter()
-            post()
+            post(tier)
             with lock:
-                latencies.append(time.perf_counter() - t)
+                latencies[tier].append(time.perf_counter() - t)
 
-    for _ in range(args.requests):
-        th = threading.Thread(target=worker)
+    for i in range(args.requests):
+        th = threading.Thread(target=worker, args=(i,))
         th.start()
         threads.append(th)
     for th in threads:
         th.join()
     wall = time.perf_counter() - t0
 
-    lat = np.sort(np.asarray(latencies))
+    lat = np.sort(np.concatenate([np.asarray(v) for v in latencies.values()]))
     fill = server.stats["requests"] / max(server.stats["batches"], 1)
-    print(json.dumps({
+    result = {
         "requests": args.requests,
         "concurrency": args.concurrency,
         "ddim_steps": args.steps,
@@ -117,7 +152,14 @@ def main():
         "batches_by_size": {str(k): v
                             for k, v in
                             server.stats["batches_by_size"].items() if v},
-    }))
+    }
+    if presets:
+        result["per_tier_p50_s"] = {
+            str(name): round(float(np.sort(v)[len(v) // 2]), 3)
+            for name, v in latencies.items() if v
+        }
+        result["requests_by_preset"] = server.stats["requests_by_preset"]
+    print(json.dumps(result))
     httpd.shutdown()
     server.close()
 
