@@ -43,6 +43,7 @@ def main():
     steps = int(os.environ.get("FIDM_BENCH_STEPS", "100"))
     method = os.environ.get("FIDM_BENCH_METHOD", "ddim")
     enc_cache = int(os.environ.get("FIDM_BENCH_ENCODER_CACHE", "1"))
+    cache_branch = int(os.environ.get("FIDM_BENCH_CACHE_BRANCH", "0"))
     baseline = BASELINES.get((method, steps), BASELINE_TIME_PER_SAMPLE)
 
     from fidm_tpu.models import ffhq256_config
@@ -57,6 +58,7 @@ def main():
             num_steps=None if (method == "ddpm" and steps >= 1000) else steps,
             eta=0.9, injection=True,
             encoder_cache_period=enc_cache,
+            cache_branch=cache_branch,
             jump_length=int(os.environ.get("FIDM_BENCH_JUMP_LEN", "10")),
             jump_n_sample=int(os.environ.get("FIDM_BENCH_JUMP_N", "10")),
         ),
@@ -108,6 +110,8 @@ def main():
     }
     if enc_cache > 1:
         result["encoder_cache_period"] = enc_cache
+        if cache_branch:
+            result["cache_branch"] = cache_branch
     print(json.dumps(result))
 
 

@@ -138,26 +138,35 @@ def main():
     # quality vs encoder-cache period (the +17% throughput knob, BENCH.md)
     import dataclasses
 
-    cache_apply = (
-        lambda x, t, mi, m: model.apply({"params": params}, x, t, mi, m,
-                                        return_cache=True),
-        lambda x, t, mi, m, c: model.apply({"params": params}, x, t, mi, m,
-                                           cache=c),
-    )
+    def make_cache_apply(depth):
+        return (
+            lambda x, t, mi, m: model.apply({"params": params}, x, t, mi, m,
+                                            return_cache=True,
+                                            cache_depth=depth),
+            lambda x, t, mi, m, c: model.apply({"params": params}, x, t, mi,
+                                               m, cache=c, cache_depth=depth),
+        )
+
     base_cfg = SamplerConfig(method="ddim", num_steps=50, eta=0.0,
                              injection=True)
-    for period, tail in ((2, 0), (5, 0), (5, 10), (10, 0), (10, 10)):
+    # branch=0: encoder+middle cached (Faster-Diffusion); branch=1:
+    # DeepCache deep-trunk cached, shallow levels recomputed — at the same
+    # period it skips MORE compute, so same-or-better PSNR here means it
+    # dominates encoder mode
+    for period, tail, branch in ((2, 0, 0), (5, 0, 0), (5, 0, 1), (5, 10, 0),
+                                 (10, 0, 0), (10, 0, 1), (10, 10, 0)):
         out_k = inpaint_sample(
             apply_fn, sched,
             dataclasses.replace(base_cfg, encoder_cache_period=period,
-                                encoder_cache_tail=tail),
+                                encoder_cache_tail=tail,
+                                cache_branch=branch),
             gt=test["image"], mask=test["mask"], key=jax.random.PRNGKey(7),
-            cache_apply=cache_apply,
+            cache_apply=make_cache_apply(branch or None),
         )
         out_k01 = (jnp.clip(out_k, -1, 1) + 1) / 2
         mse_k = float((((out_k01 - gt01) ** 2) * hole).sum() / (hole.sum() * 3))
-        print(f"hole PSNR @ encoder_cache={period} tail={tail}: "
-              f"{10 * np.log10(1.0 / mse_k):.2f} dB")
+        print(f"hole PSNR @ encoder_cache={period} tail={tail} "
+              f"branch={branch}: {10 * np.log10(1.0 / mse_k):.2f} dB")
 
     # solver comparison at low step counts: DPM-Solver++(2M) should hold the
     # DDIM-50 quality with far fewer model evaluations than DDIM does

@@ -87,6 +87,12 @@ def parse_args(argv=None):
     p.add_argument("--encoder_cache_tail", type=int, default=None,
                    help="always run the full model on the last N steps "
                         "(caching hurts most near t=0)")
+    p.add_argument("--cache_branch", type=int, default=None,
+                   help="with --encoder_cache k>1: 0 = cache encoder+middle "
+                        "(default), b>0 = DeepCache deep-trunk mode — cache "
+                        "the decoder feature at branch depth b and recompute "
+                        "only UNet levels 0..b-1 on non-key steps (skips "
+                        "more, keeps full-res skips fresh; use b=1)")
     p.add_argument("--dtype", default="bf16", choices=["bf16", "f32"],
                    help="compute dtype (the FP16-inference analogue of "
                         "test_quant.py:393-396; bf16 is TPU-native)")
@@ -202,6 +208,8 @@ def main(argv=None):
     if args.encoder_cache is not None:
         sampler = dataclasses.replace(
             sampler, encoder_cache_period=args.encoder_cache)
+    if args.cache_branch is not None:
+        sampler = dataclasses.replace(sampler, cache_branch=args.cache_branch)
     if args.encoder_cache_tail is not None:
         sampler = dataclasses.replace(
             sampler, encoder_cache_tail=args.encoder_cache_tail)

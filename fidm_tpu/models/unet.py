@@ -84,16 +84,34 @@ class UNet(nn.Module):
 
     @nn.compact
     def __call__(self, x, timesteps, y=None, *, deterministic: bool = True,
-                 cache=None, return_cache: bool = False):
-        """Forward pass; optionally reusing / emitting encoder features.
+                 cache=None, return_cache: bool = False,
+                 cache_depth: Optional[int] = None):
+        """Forward pass; optionally reusing / emitting cached features.
 
-        `cache=(h_mid, skips)` skips the encoder+middle stacks entirely and
-        runs only the decoder against the provided features ("Faster
-        Diffusion" / DeepCache-style reuse across adjacent sampler steps —
-        the timestep embedding is still fresh). `return_cache=True` returns
-        `(out, (h_mid, skips))` so a key step can publish its features.
+        Two cross-step feature-reuse modes (both: `return_cache=True` makes
+        a key step publish its features, `cache=...` consumes them; the
+        timestep embedding is always fresh):
+
+        - `cache_depth=None` ("Faster Diffusion"-style encoder reuse):
+          cache = `(h_mid, skips)`; a cached call skips the encoder+middle
+          stacks entirely and runs only the decoder.
+        - `cache_depth=b` (DeepCache-style deep-trunk reuse,
+          arXiv:2312.00858): cache = the single decoder feature entering
+          level b-1 (i.e. the output of level b's upsample). A cached call
+          recomputes ONLY the shallow stacks — encoder levels 0..b-1 (whose
+          skips the shallow decoder consumes) and decoder levels b-1..0 —
+          and skips everything at or below level b, encoder, middle, and
+          decoder alike. In this architecture FLOPs concentrate in the
+          full-resolution levels, so prefer small b (1 or 2).
         """
         cfg = self.config
+        n_levels = len(cfg.channel_mult)
+        if cache_depth is not None and not 1 <= cache_depth < n_levels:
+            raise ValueError(
+                f"cache_depth must be in [1, {n_levels - 1}] for "
+                f"channel_mult={cfg.channel_mult}; got {cache_depth}"
+            )
+        deep_cached = cache is not None and cache_depth is not None
         if (y is not None) != (cfg.num_classes is not None):
             raise ValueError(
                 f"labels and num_classes must come together: y is "
@@ -134,7 +152,13 @@ class UNet(nn.Module):
                                  param_dtype=jnp.float32, dtype=dtype,
                                  name="label_emb")(y)
 
-        if cache is None:
+        if cache is None or deep_cached:
+            # Encoder prefix. A full run computes every level; a deep-cached
+            # run computes only the shallow levels (0..cache_depth-1) whose
+            # skips the shallow decoder consumes — including the downsamples
+            # BETWEEN shallow levels, but not the one feeding level
+            # `cache_depth` (its output is only consumed below the branch).
+            stop = cache_depth if deep_cached else n_levels
             ch = int(cfg.channel_mult[0] * cfg.model_channels)
             h = nn.Conv(ch, (3, 3), padding=1, dtype=dtype,
                         param_dtype=jnp.float32,
@@ -144,7 +168,7 @@ class UNet(nn.Module):
             ds = 1
             idx = 1  # input block index (mirrors reference input_blocks list)
 
-            for level, mult in enumerate(cfg.channel_mult):
+            for level, mult in list(enumerate(cfg.channel_mult))[:stop]:
                 for _ in range(cfg.num_res_blocks):
                     ch = int(mult * cfg.model_channels)
                     h = block(out_channels=ch, dropout=cfg.dropout,
@@ -158,7 +182,7 @@ class UNet(nn.Module):
                     hs.append(h)
                     input_block_chans.append(ch)
                     idx += 1
-                if level != len(cfg.channel_mult) - 1:
+                if level != stop - 1:
                     if cfg.resblock_updown:
                         h = block(out_channels=ch, dropout=cfg.dropout,
                                   use_scale_shift_norm=cfg.use_scale_shift_norm,
@@ -173,17 +197,18 @@ class UNet(nn.Module):
                     ds *= 2
                     idx += 1
 
-            h = block(dropout=cfg.dropout,
-                      use_scale_shift_norm=cfg.use_scale_shift_norm,
-                      deterministic=deterministic,
-                      dtype=dtype, name="mid_res0")(h, emb)
-            h = attn(num_heads=cfg.num_heads,
-                     num_head_channels=cfg.num_head_channels,
-                     dtype=dtype, name="mid_attn")(h)
-            h = block(dropout=cfg.dropout,
-                      use_scale_shift_norm=cfg.use_scale_shift_norm,
-                      deterministic=deterministic,
-                      dtype=dtype, name="mid_res1")(h, emb)
+            if not deep_cached:
+                h = block(dropout=cfg.dropout,
+                          use_scale_shift_norm=cfg.use_scale_shift_norm,
+                          deterministic=deterministic,
+                          dtype=dtype, name="mid_res0")(h, emb)
+                h = attn(num_heads=cfg.num_heads,
+                         num_head_channels=cfg.num_head_channels,
+                         dtype=dtype, name="mid_attn")(h)
+                h = block(dropout=cfg.dropout,
+                          use_scale_shift_norm=cfg.use_scale_shift_norm,
+                          deterministic=deterministic,
+                          dtype=dtype, name="mid_res1")(h, emb)
         else:
             # decoder-only: replay the static channel bookkeeping without
             # touching any encoder/middle module
@@ -200,10 +225,24 @@ class UNet(nn.Module):
                     input_block_chans.append(ch)
             ds = 2 ** (len(cfg.channel_mult) - 1)
 
-        new_cache = (h, tuple(hs)) if return_cache else None
+        new_cache = None
+        if return_cache and cache_depth is None:
+            new_cache = (h, tuple(hs))
 
         idx = 0
-        for level, mult in list(enumerate(cfg.channel_mult))[::-1]:
+        dec_levels = list(enumerate(cfg.channel_mult))[::-1]
+        if deep_cached:
+            # shallow decoder only: resume from the cached trunk feature at
+            # the exact point where the full decoder enters level
+            # cache_depth-1 (block names/indices match the full pass)
+            dec_levels = dec_levels[n_levels - cache_depth:]
+            idx = (n_levels - cache_depth) * (cfg.num_res_blocks + 1)
+            h = cache.astype(dtype)
+            ds = 2 ** (cache_depth - 1)
+        for level, mult in dec_levels:
+            if (return_cache and cache_depth is not None
+                    and level == cache_depth - 1):
+                new_cache = h  # the deep trunk feature a key step publishes
             for i in range(cfg.num_res_blocks + 1):
                 skip = hs.pop()
                 input_block_chans.pop()
@@ -260,12 +299,13 @@ class InpaintingUNet(nn.Module):
     @nn.compact
     def __call__(self, x, t, masked_image, mask, y=None, *,
                  deterministic: bool = True,
-                 cache=None, return_cache: bool = False):
+                 cache=None, return_cache: bool = False,
+                 cache_depth: Optional[int] = None):
         mask3 = jnp.broadcast_to(mask, mask.shape[:-1] + (3,))
         inp = jnp.concatenate(
             [x, masked_image.astype(x.dtype), mask3.astype(x.dtype)], axis=-1
         )
         return UNet(self.config, name="base")(
             inp, t, y, deterministic=deterministic,
-            cache=cache, return_cache=return_cache,
+            cache=cache, return_cache=return_cache, cache_depth=cache_depth,
         )

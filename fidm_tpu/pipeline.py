@@ -303,11 +303,14 @@ class InpaintingPipeline:
 
             cache_apply = None
             if cfg.encoder_cache_period > 1:
+                depth = cfg.cache_branch or None  # 0 = encoder mode
                 cache_apply = (
                     lambda x, t, mi, m: self.model.apply(
-                        variables, x, scale_t(t), mi, m, return_cache=True),
+                        variables, x, scale_t(t), mi, m, return_cache=True,
+                        cache_depth=depth),
                     lambda x, t, mi, m, cache: self.model.apply(
-                        variables, x, scale_t(t), mi, m, cache=cache),
+                        variables, x, scale_t(t), mi, m, cache=cache,
+                        cache_depth=depth),
                 )
 
             return inpaint_sample(apply_fn, self.sched, cfg,

@@ -75,6 +75,19 @@ class SamplerConfig:
     # Always run the full model on the last N steps regardless of period —
     # caching hurts most near t=0 where fine detail is resolved.
     encoder_cache_tail: int = 0
+    # What the cache holds on non-key steps (only meaningful with
+    # encoder_cache_period > 1):
+    #   0  — encoder mode: cache encoder+middle features, recompute the
+    #        full decoder (saves the encoder's ~22% of a step);
+    #   b>0 — deep-trunk mode (DeepCache, arXiv:2312.00858): cache the
+    #        decoder feature at branch depth b and recompute ONLY UNet
+    #        levels 0..b-1 (both sides) on non-key steps. At the same
+    #        period this skips strictly more compute than encoder mode
+    #        (everything at/below level b instead of just encoder+middle)
+    #        AND keeps the full-resolution skip features fresh — encoder
+    #        mode freezes those, which is where the fine detail lives.
+    #        FLOPs concentrate in the full-res levels here, so use b=1.
+    cache_branch: int = 0
     # RePaint time-travel resampling (method="repaint", arXiv:2201.09865).
     # The reference's injection mechanism IS RePaint's conditioning step
     # (`gaussian_diffusion.py:114-157`); these add the resampling loop it

@@ -160,6 +160,99 @@ def test_unconditional_sample_supports_encoder_cache():
     assert not np.array_equal(np.asarray(out), np.asarray(base))
 
 
+def test_deep_cache_kwargs_exact():
+    """cache_depth=b: a cached call with a fresh same-input cache is
+    bit-identical to the plain forward (the shallow stacks recompute, the
+    trunk is replayed), at every legal branch depth."""
+    m = InpaintingUNet(CFG)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((2, 16, 16, 3)), jnp.float32)
+    t = jnp.array([5, 300], jnp.int32)
+    mi = x * 0.5
+    mask = jnp.ones((2, 16, 16, 1), jnp.float32)
+    v = _randomize(m.init(jax.random.PRNGKey(0), x, t, mi, mask))
+
+    out_plain = m.apply(v, x, t, mi, mask)
+    for b in range(1, len(CFG.channel_mult)):
+        out_full, cache = m.apply(v, x, t, mi, mask, return_cache=True,
+                                  cache_depth=b)
+        assert cache.shape[1] == 16 // 2 ** (b - 1)  # level b-1 resolution
+        out_cached = m.apply(v, x, t, mi, mask, cache=cache, cache_depth=b)
+        np.testing.assert_array_equal(np.asarray(out_plain),
+                                      np.asarray(out_full))
+        np.testing.assert_array_equal(np.asarray(out_plain),
+                                      np.asarray(out_cached))
+        # fresh timestep embedding flows through the shallow stacks
+        out_t2 = m.apply(v, x, jnp.array([100, 100], jnp.int32), mi, mask,
+                         cache=cache, cache_depth=b)
+        assert not np.allclose(np.asarray(out_t2), np.asarray(out_plain))
+
+    import pytest
+    with pytest.raises(ValueError):
+        m.apply(v, x, t, mi, mask, return_cache=True,
+                cache_depth=len(CFG.channel_mult))
+
+
+def test_deep_cache_program_cheaper_than_encoder_mode():
+    """The deep-b1 cached step skips strictly more work than the
+    encoder-mode cached step (everything at/below level 1 vs just
+    encoder+middle)."""
+    pipe = _pipe()
+    gt, mask = _data()
+    x = jnp.asarray(gt)
+    m = jnp.asarray(mask)
+    t = jnp.zeros((2,), jnp.int32)
+
+    def flops(fn, *args):
+        return jax.jit(fn).lower(*args).compile().cost_analysis()["flops"]
+
+    full = jax.jit(
+        lambda v, x, t, mi, mk: pipe.model.apply(v, x, t, mi, mk,
+                                                 return_cache=True,
+                                                 cache_depth=1)
+    ).lower(pipe.variables, x, t, x, m).compile()
+    deep_cache = full(pipe.variables, x, t, x, m)[1]
+    enc_cache = pipe.model.apply(pipe.variables, x, t, x, m,
+                                 return_cache=True)[1]
+
+    f_full = full.cost_analysis()["flops"]
+    f_deep = flops(lambda v, x, t, mi, mk, c: pipe.model.apply(
+        v, x, t, mi, mk, cache=c, cache_depth=1),
+        pipe.variables, x, t, x, m, deep_cache)
+    f_enc = flops(lambda v, x, t, mi, mk, c: pipe.model.apply(
+        v, x, t, mi, mk, cache=c),
+        pipe.variables, x, t, x, m, enc_cache)
+    assert f_deep < f_enc < f_full, (f_full, f_enc, f_deep)
+
+
+def test_deep_cache_sampling_contracts():
+    """cache_branch=1 through the whole sampler scan: finite, keeps known
+    pixels, deterministic, differs from both exact and encoder-mode
+    trajectories, and a full tail recovers bit-exactness."""
+    pipe = _pipe()
+    gt, mask = _data()
+    key = jax.random.PRNGKey(0)
+
+    base = np.asarray(pipe.inpaint(gt, mask, key))
+    s_deep = dataclasses.replace(pipe.config.sampler,
+                                 encoder_cache_period=4, cache_branch=1)
+    out = np.asarray(pipe.inpaint(gt, mask, key, sampler=s_deep))
+    assert np.isfinite(out).all()
+    keep = mask[..., 0] < 0.5
+    np.testing.assert_array_equal(out[keep], gt[keep])
+    assert not np.array_equal(out, base)
+    np.testing.assert_array_equal(
+        out, np.asarray(pipe.inpaint(gt, mask, key, sampler=s_deep)))
+
+    s_enc = dataclasses.replace(pipe.config.sampler, encoder_cache_period=4)
+    assert not np.array_equal(
+        out, np.asarray(pipe.inpaint(gt, mask, key, sampler=s_enc)))
+
+    s_tail = dataclasses.replace(s_deep, encoder_cache_tail=8)
+    np.testing.assert_array_equal(
+        base, np.asarray(pipe.inpaint(gt, mask, key, sampler=s_tail)))
+
+
 def test_encoder_cache_tail_recovers_exactness():
     """With tail >= num_steps every step is a key step -> bit-identical to
     exact sampling; a partial tail changes the output vs no-tail caching."""
