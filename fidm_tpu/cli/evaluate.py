@@ -93,6 +93,13 @@ def parse_args(argv=None):
                         "the decoder feature at branch depth b and recompute "
                         "only UNet levels 0..b-1 on non-key steps (skips "
                         "more, keeps full-res skips fresh; use b=1)")
+    p.add_argument("--save_trajectory", type=int, default=0, metavar="K",
+                   help="save every K-th intermediate sampler state as a "
+                        "per-sample horizontal strip PNG under "
+                        "output_dir/trajectory/ (0 = off; the reference's "
+                        "progressive loops, gaussian_diffusion.py:415-445). "
+                        "First 4 samples per batch; adds frame-buffer HBM "
+                        "proportional to num_steps/K")
     p.add_argument("--dtype", default="bf16", choices=["bf16", "f32"],
                    help="compute dtype (the FP16-inference analogue of "
                         "test_quant.py:393-396; bf16 is TPU-native)")
@@ -213,6 +220,9 @@ def main(argv=None):
     if args.encoder_cache_tail is not None:
         sampler = dataclasses.replace(
             sampler, encoder_cache_tail=args.encoder_cache_tail)
+    if args.save_trajectory:
+        sampler = dataclasses.replace(
+            sampler, trajectory_every=args.save_trajectory)
 
     import jax.numpy as jnp
 
@@ -343,10 +353,24 @@ def main(argv=None):
             pad = 0
         timer.start()
         out = pipe.inpaint(gt, mask, jax.random.fold_in(key, bi))
+        traj = None
+        if args.save_trajectory:
+            out, traj = out
         timer.stop(out)
         out = np.asarray(out)
         if pad:
             out, gt, mask = out[:-pad], gt[:-pad], mask[:-pad]
+        if traj is not None:
+            # per-sample strip: masked input, every recorded frame, final
+            traj = np.asarray(traj)  # [N, B, H, W, 3]
+            for i in range(min(out.shape[0], 4)):
+                frames = [to_uint8(gt[i] * (1 - mask[i]))]
+                frames += [to_uint8(np.clip(traj[n, i], -1, 1))
+                           for n in range(traj.shape[0])]
+                frames.append(to_uint8(out[i]))
+                save_png(np.concatenate(frames, axis=1),
+                         os.path.join(args.output_dir, "trajectory",
+                                      f"{n_done + i:05d}_strip.png"))
 
         gt01 = (gt + 1) / 2
         out01 = (out + 1) / 2
@@ -358,7 +382,9 @@ def main(argv=None):
         # mask; SSIM additionally needs hole pixels with a centred valid
         # window (outside the (win-1)/2 border band, metrics/ssim.py)
         m = np.asarray(mask)
-        r = 5  # (11 - 1) // 2 for the default win_size
+        from ..metrics.ssim import DEFAULT_WIN_SIZE
+
+        r = (DEFAULT_WIN_SIZE - 1) // 2  # centred-window border band
         scorable_psnr = m.sum(axis=(1, 2, 3)) > 0
         scorable_ssim = m[:, r:m.shape[1] - r, r:m.shape[2] - r].sum(
             axis=(1, 2, 3)) > 0

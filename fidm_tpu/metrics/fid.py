@@ -11,7 +11,7 @@ eps-regularized fallback), and the feature extractor is pluggable:
   `pt_inception-2015-12-05`-layout torch weights the user supplies locally;
   this environment has no network egress and ships no pretrained weights,
   so there is no silently-wrong default. Oracle-parity-tested in
-  `tests/test_fid_inception.py`.
+  `tests/test_metric_oracles.py` (oracle: tests/oracle_fid_inception.py).
 - `RandomConvFeatureExtractor` — a seeded random-projection CNN producing a
   *proxy* FID for pipeline tests and relative comparisons only (documented
   as NOT comparable to published FID numbers).

@@ -17,7 +17,8 @@ conversion time, so the forward is conv+bias+relu chains that XLA maps
 straight onto the MXU.
 
 Parity with a vendored torch oracle of the same architecture is tested in
-`tests/test_fid_inception.py` (random weights, <=1e-4).
+`tests/test_metric_oracles.py` (oracle: tests/oracle_fid_inception.py;
+random weights, <=1e-4).
 """
 from __future__ import annotations
 

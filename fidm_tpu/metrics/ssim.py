@@ -62,8 +62,15 @@ def _ssim_map(img1, img2, win_size: int, data_range: float):
     return s
 
 
+# the default window everywhere (skimage's structural_similarity default);
+# consumers needing the centred-window border radius should derive it as
+# (DEFAULT_WIN_SIZE - 1) // 2 instead of hard-coding 5
+DEFAULT_WIN_SIZE = 11
+
+
 @partial(jax.jit, static_argnames=("win_size", "data_range"))
-def ssim(img1, img2, *, win_size: int = 11, data_range: float = 1.0):
+def ssim(img1, img2, *, win_size: int = DEFAULT_WIN_SIZE,
+         data_range: float = 1.0):
     """Mean SSIM per batch element. img1/img2: [B,H,W,C] in [0, data_range]."""
     # skimage crops (win_size-1)//2 from each side of the *valid* map before
     # averaging; conv VALID already removed the borders, and skimage then
@@ -73,7 +80,7 @@ def ssim(img1, img2, *, win_size: int = 11, data_range: float = 1.0):
 
 
 @partial(jax.jit, static_argnames=("win_size", "data_range"))
-def masked_ssim(img1, img2, mask, *, win_size: int = 11,
+def masked_ssim(img1, img2, mask, *, win_size: int = DEFAULT_WIN_SIZE,
                 data_range: float = 1.0):
     """SSIM averaged over window positions centred in the mask (hole).
 

@@ -245,6 +245,7 @@ class InpaintingPipeline:
         recompiles.
         """
         cfg = sampler or self.config.sampler
+        self._validate_cache_cfg(cfg)
         if mask.shape[-1] != 1 or mask.shape[:-1] != gt.shape[:-1]:
             raise ValueError(
                 f"mask must be [B,H,W,1] matching gt spatial dims; got "
@@ -283,6 +284,25 @@ class InpaintingPipeline:
             with pallas_override(False, "attention"):  # scoped to the trace
                 return fn(self.variables, gt, mask, key)
         return fn(self.variables, gt, mask, key)
+
+    def _validate_cache_cfg(self, cfg: SamplerConfig):
+        """Config-time DeepCache validation: a cache_branch that is silently
+        ignored (period <= 1) or out of range would otherwise only surface
+        deep inside the jitted UNet trace (or not at all)."""
+        if cfg.cache_branch:
+            if cfg.encoder_cache_period <= 1:
+                raise ValueError(
+                    f"cache_branch={cfg.cache_branch} has no effect with "
+                    f"encoder_cache_period={cfg.encoder_cache_period}; set "
+                    "encoder_cache_period > 1 (or drop cache_branch)"
+                )
+            n_levels = len(self.config.unet.channel_mult)
+            if not 1 <= cfg.cache_branch < n_levels:
+                raise ValueError(
+                    f"cache_branch must be in [1, {n_levels - 1}] for "
+                    f"channel_mult={self.config.unet.channel_mult}; got "
+                    f"{cfg.cache_branch}"
+                )
 
     def _make_jit(self, cfg: SamplerConfig, cond_fn=None):
         """The jitted sampling program for one SamplerConfig (+ optional
@@ -328,10 +348,13 @@ class InpaintingPipeline:
                 bs = spatial_sharding(self.mesh)
             else:
                 bs = batch_sharding(self.mesh)
+            # with trajectory_every the program returns (images, frames);
+            # frames carry batch on axis 1, so leave their layout to XLA
+            out_s = (bs, None) if cfg.trajectory_every > 0 else bs
             return jax.jit(
                 run,
                 in_shardings=(None, bs, bs, replicated(self.mesh)),
-                out_shardings=bs,
+                out_shardings=out_s,
             )
         return jax.jit(run)
 

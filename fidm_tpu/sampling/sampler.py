@@ -88,6 +88,16 @@ class SamplerConfig:
     #        mode freezes those, which is where the fine detail lives.
     #        FLOPs concentrate in the full-res levels here, so use b=1.
     cache_branch: int = 0
+    # Emit intermediate frames every k-th step (0 = off). When > 0, the
+    # sampler returns `(final, trajectory)` where trajectory is
+    # [N, B, H, W, C] f32 holding the post-update (post-injection) state
+    # after steps k-1, 2k-1, ... plus always the last step; N =
+    # (K-1)//k + 1. Frames are PRE-final-blend. This is the progressive
+    # API of the reference (`gaussian_diffusion.py:415-445,508-538` —
+    # `*_sample_loop_progressive` yield every step), done scan-native: the
+    # frames live in a fixed device buffer updated in place, so memory is
+    # N frames, not K. trajectory_every=1 records every step.
+    trajectory_every: int = 0
     # RePaint time-travel resampling (method="repaint", arXiv:2201.09865).
     # The reference's injection mechanism IS RePaint's conditioning step
     # (`gaussian_diffusion.py:114-157`); these add the resampling loop it
@@ -562,6 +572,34 @@ def _maybe_post_inject(x, xs, gt, keep, inject_key, enabled):
     return x + xs["inject_gate"] * (injected - x)
 
 
+def _traj_recorder(cfg: SamplerConfig, K: int, x):
+    """(traj0, record) implementing cfg.trajectory_every (see its doc).
+
+    traj0 is the zero-initialized [N, *x.shape] frame buffer carried through
+    the scan; `record(traj, x, s)` conditionally writes x into slot
+    s["step"] // k (`lax.cond` + in-place dynamic_update_slice — non-emit
+    steps touch nothing). With trajectory off both are no-ops (traj0=None)."""
+    k = cfg.trajectory_every
+    if k <= 0:
+        return None, lambda traj, x, s: traj
+    if K <= 0:
+        raise ValueError("trajectory_every > 0 needs at least one step")
+    n = (K - 1) // k + 1
+    traj0 = jnp.zeros((n,) + tuple(x.shape), jnp.float32)
+
+    def record(traj, x, s):
+        emit = (((s["step"] + 1) % k) == 0) | (s["step"] == K - 1)
+        return jax.lax.cond(
+            emit,
+            lambda tr: jax.lax.dynamic_update_slice_in_dim(
+                tr, x[None].astype(tr.dtype), s["step"] // k, axis=0),
+            lambda tr: tr,
+            traj,
+        )
+
+    return traj0, record
+
+
 def _shared_update(sched, cfg, x, step_key, B, cond_fn, extract_raw):
     """(xs, aux0, update) for the methods whose per-step update is identical
     between `inpaint_sample` and `sample` — everything except DDIM, whose
@@ -690,7 +728,11 @@ def inpaint_sample(
 
     Returns:
       Inpainted images [B,H,W,3]; known pixels exactly equal `gt` when
-      cfg.final_blend (the property test anchors this).
+      cfg.final_blend (the property test anchors this). With
+      cfg.trajectory_every > 0 returns `(images, trajectory)` instead —
+      trajectory is [N,B,H,W,3] f32 intermediate (pre-final-blend) states,
+      one every k-th step plus the last (see SamplerConfig.trajectory_every;
+      the reference's progressive loops, gaussian_diffusion.py:415-445).
     """
     B = gt.shape[0]
     if cond_fn is not None and cfg.method in ("dpm++2m", "dpm++2m-sde",
@@ -721,8 +763,10 @@ def inpaint_sample(
                 "encoder_cache_period is not supported with method='repaint'"
             )
         xs = _to_device_xs(_repaint_tables(sched, cfg))
+        traj0, record = _traj_recorder(cfg, int(xs["step"].shape[0]), x)
 
-        def repaint_body(x, s):
+        def repaint_body(carry, s):
+            x, traj = carry
             x = _maybe_pre_inject(x, s, gt, keep, inject_key, pre)
 
             def denoise(xx):
@@ -744,12 +788,12 @@ def inpaint_sample(
 
             x = jax.lax.cond(s["is_denoise"] > 0, denoise, renoise, x)
             x = _maybe_post_inject(x, s, gt, keep, inject_key, post)
-            return x, None
+            return (x, record(traj, x, s)), None
 
-        x, _ = jax.lax.scan(repaint_body, x, xs)
+        (x, traj), _ = jax.lax.scan(repaint_body, (x, traj0), xs)
         if cfg.final_blend:
             x = x * mask + gt * keep
-        return x
+        return (x, traj) if cfg.trajectory_every > 0 else x
 
     aux0 = None  # extra per-method carry (dpm++2m: previous x0 prediction)
     if cfg.method == "ddim":
@@ -782,17 +826,18 @@ def inpaint_sample(
         )
 
     period = cfg.encoder_cache_period
+    traj0, record = _traj_recorder(cfg, int(xs["step"].shape[0]), x)
     if period <= 1:
         def body(carry, s):
-            x, aux = carry
+            x, aux, traj = carry
             t_full = jnp.full((B,), s["t"], jnp.int32)
             x = _maybe_pre_inject(x, s, gt, keep, inject_key, pre)
             out = apply_fn(x, t_full, masked_image, mask)
             x, aux = update(x, aux, s, out)
             x = _maybe_post_inject(x, s, gt, keep, inject_key, post)
-            return (x, aux), None
+            return (x, aux, record(traj, x, s)), None
 
-        (x, _), _ = jax.lax.scan(body, (x, aux0), xs)
+        (x, _, traj), _ = jax.lax.scan(body, (x, aux0, traj0), xs)
     else:
         if cache_apply is None:
             raise ValueError(
@@ -814,7 +859,7 @@ def inpaint_sample(
         K = int(xs["step"].shape[0])
 
         def body(carry, s):
-            x, aux, cache = carry
+            x, aux, cache, traj = carry
             t_full = jnp.full((B,), s["t"], jnp.int32)
             x = _maybe_pre_inject(x, s, gt, keep, inject_key, pre)
             is_key = (s["step"] % period == 0) | (
@@ -829,13 +874,13 @@ def inpaint_sample(
             )
             x, aux = update(x, aux, s, out)
             x = _maybe_post_inject(x, s, gt, keep, inject_key, post)
-            return (x, aux, cache), None
+            return (x, aux, cache, record(traj, x, s)), None
 
-        (x, _, _), _ = jax.lax.scan(body, (x, aux0, cache0), xs)
+        (x, _, _, traj), _ = jax.lax.scan(body, (x, aux0, cache0, traj0), xs)
 
     if cfg.final_blend:
         x = x * mask + gt * keep
-    return x
+    return (x, traj) if cfg.trajectory_every > 0 else x
 
 
 def sample(
@@ -877,8 +922,11 @@ def sample(
                 "encoder_cache_period is not supported with method='repaint'"
             )
         xs = _to_device_xs(_repaint_tables(sched, cfg))
+        traj0, record = _traj_recorder(cfg, int(xs["step"].shape[0]), x)
 
-        def repaint_body(x, s):
+        def repaint_body(carry, s):
+            x, traj = carry
+
             def denoise(xx):
                 out = apply_fn(xx, jnp.full((B,), s["t"], jnp.int32))
                 mean, logvar = _ddpm_mean_logvar(out, xx, s, cfg)
@@ -895,10 +943,11 @@ def sample(
                 )
                 return s["renoise_keep"] * xx + s["renoise_std"] * noise
 
-            return jax.lax.cond(s["is_denoise"] > 0, denoise, renoise, x), None
+            x = jax.lax.cond(s["is_denoise"] > 0, denoise, renoise, x)
+            return (x, record(traj, x, s)), None
 
-        x, _ = jax.lax.scan(repaint_body, x, xs)
-        return x
+        (x, traj), _ = jax.lax.scan(repaint_body, (x, traj0), xs)
+        return (x, traj) if cfg.trajectory_every > 0 else x
 
     aux0 = None
     if cfg.method == "ddim":
@@ -933,15 +982,17 @@ def sample(
         )
 
     period = cfg.encoder_cache_period
+    traj0, record = _traj_recorder(cfg, int(xs["step"].shape[0]), x)
     if period <= 1:
         def body(carry, s):
-            x, aux = carry
+            x, aux, traj = carry
             t_full = jnp.full((B,), s["t"], jnp.int32)
             out = apply_fn(x, t_full)
-            return update(x, aux, s, out), None
+            x, aux = update(x, aux, s, out)
+            return (x, aux, record(traj, x, s)), None
 
-        (x, _), _ = jax.lax.scan(body, (x, aux0), xs)
-        return x
+        (x, _, traj), _ = jax.lax.scan(body, (x, aux0, traj0), xs)
+        return (x, traj) if cfg.trajectory_every > 0 else x
 
     if cache_apply is None:
         raise ValueError(
@@ -959,7 +1010,7 @@ def sample(
     K = int(xs["step"].shape[0])
 
     def body(carry, s):
-        x, aux, cache = carry
+        x, aux, cache, traj = carry
         t_full = jnp.full((B,), s["t"], jnp.int32)
         is_key = (s["step"] % period == 0) | (
             s["step"] >= K - cfg.encoder_cache_tail
@@ -971,7 +1022,7 @@ def sample(
             (x, t_full),
         )
         x, aux = update(x, aux, s, out)
-        return (x, aux, cache), None
+        return (x, aux, cache, record(traj, x, s)), None
 
-    (x, _, _), _ = jax.lax.scan(body, (x, aux0, cache0), xs)
-    return x
+    (x, _, _, traj), _ = jax.lax.scan(body, (x, aux0, cache0, traj0), xs)
+    return (x, traj) if cfg.trajectory_every > 0 else x

@@ -163,34 +163,42 @@ def test_unconditional_sample_supports_encoder_cache():
 def test_deep_cache_kwargs_exact():
     """cache_depth=b: a cached call with a fresh same-input cache is
     bit-identical to the plain forward (the shallow stacks recompute, the
-    trunk is replayed), at every legal branch depth."""
-    m = InpaintingUNet(CFG)
-    rng = np.random.default_rng(0)
-    x = jnp.asarray(rng.standard_normal((2, 16, 16, 3)), jnp.float32)
-    t = jnp.array([5, 300], jnp.int32)
-    mi = x * 0.5
-    mask = jnp.ones((2, 16, 16, 1), jnp.float32)
-    v = _randomize(m.init(jax.random.PRNGKey(0), x, t, mi, mask))
-
-    out_plain = m.apply(v, x, t, mi, mask)
-    for b in range(1, len(CFG.channel_mult)):
-        out_full, cache = m.apply(v, x, t, mi, mask, return_cache=True,
-                                  cache_depth=b)
-        assert cache.shape[1] == 16 // 2 ** (b - 1)  # level b-1 resolution
-        out_cached = m.apply(v, x, t, mi, mask, cache=cache, cache_depth=b)
-        np.testing.assert_array_equal(np.asarray(out_plain),
-                                      np.asarray(out_full))
-        np.testing.assert_array_equal(np.asarray(out_plain),
-                                      np.asarray(out_cached))
-        # fresh timestep embedding flows through the shallow stacks
-        out_t2 = m.apply(v, x, jnp.array([100, 100], jnp.int32), mi, mask,
-                         cache=cache, cache_depth=b)
-        assert not np.allclose(np.asarray(out_t2), np.asarray(out_plain))
-
+    trunk is replayed), at every legal branch depth — including a 3-level
+    config so b=2 exercises the inter-level downsample in the deep-cached
+    encoder prefix and the decoder upsample-resume bookkeeping (ADVICE r2:
+    a 2-level config makes b=1 the only legal depth)."""
     import pytest
-    with pytest.raises(ValueError):
-        m.apply(v, x, t, mi, mask, return_cache=True,
-                cache_depth=len(CFG.channel_mult))
+
+    for cfg in (CFG, dataclasses.replace(CFG, channel_mult=(1, 2, 2),
+                                         attention_resolutions=(4,))):
+        m = InpaintingUNet(cfg)
+        rng = np.random.default_rng(0)
+        x = jnp.asarray(rng.standard_normal((2, 16, 16, 3)), jnp.float32)
+        t = jnp.array([5, 300], jnp.int32)
+        mi = x * 0.5
+        mask = jnp.ones((2, 16, 16, 1), jnp.float32)
+        v = _randomize(m.init(jax.random.PRNGKey(0), x, t, mi, mask))
+
+        out_plain = m.apply(v, x, t, mi, mask)
+        assert len(cfg.channel_mult) >= 3 or cfg is CFG
+        for b in range(1, len(cfg.channel_mult)):
+            out_full, cache = m.apply(v, x, t, mi, mask, return_cache=True,
+                                      cache_depth=b)
+            assert cache.shape[1] == 16 // 2 ** (b - 1)  # level b-1 res
+            out_cached = m.apply(v, x, t, mi, mask, cache=cache,
+                                 cache_depth=b)
+            np.testing.assert_array_equal(np.asarray(out_plain),
+                                          np.asarray(out_full))
+            np.testing.assert_array_equal(np.asarray(out_plain),
+                                          np.asarray(out_cached))
+            # fresh timestep embedding flows through the shallow stacks
+            out_t2 = m.apply(v, x, jnp.array([100, 100], jnp.int32), mi,
+                             mask, cache=cache, cache_depth=b)
+            assert not np.allclose(np.asarray(out_t2), np.asarray(out_plain))
+
+        with pytest.raises(ValueError):
+            m.apply(v, x, t, mi, mask, return_cache=True,
+                    cache_depth=len(cfg.channel_mult))
 
 
 def test_deep_cache_program_cheaper_than_encoder_mode():
