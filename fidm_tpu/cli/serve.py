@@ -29,6 +29,15 @@ def parse_args(argv=None):
                         "image data; default off)")
     p.add_argument("--base_seed", type=int, default=0,
                    help="deterministic per-request seed base")
+    p.add_argument("--max_queue", type=int, default=None,
+                   help="queue-depth bound: past it new requests get HTTP "
+                        "429 instead of joining an unbounded backlog "
+                        "(default max(64, 8*batch_size))")
+    p.add_argument("--default_deadline_s", type=float, default=None,
+                   help="server-side default per-request deadline: requests "
+                        "that would START past it are shed with HTTP 504 "
+                        "(clients can override per request via npz field "
+                        "'timeout_ms'; default: no shedding)")
     # dpm-25-sde: DDIM-100-class quality at 1/4 the model evaluations,
     # stochastic — deterministic dpm++2m collapses on hard irregular masks
     # (prediction-error amplification, docs/TUNING.md), and serving sees
@@ -98,7 +107,8 @@ def main(argv=None):
         program_cache_dir=args.program_cache,
         compress_responses=args.compress_responses,
         adaptive_wait=not args.no_adaptive_wait,
-        presets=presets,
+        presets=presets, max_queue=args.max_queue,
+        default_deadline_s=args.default_deadline_s,
     )
     print(f"serving on http://{args.host}:{args.port} "
           f"(batch sizes {dispatcher.batch_sizes}, presets {names}, "

@@ -1,4 +1,10 @@
 from . import aot
-from .server import InpaintingServer, serve
+from .server import (
+    DeadlineExceededError,
+    InpaintingServer,
+    ServerOverloadedError,
+    serve,
+)
 
-__all__ = ["InpaintingServer", "serve", "aot"]
+__all__ = ["InpaintingServer", "serve", "aot", "ServerOverloadedError",
+           "DeadlineExceededError"]

@@ -52,17 +52,29 @@ from typing import Dict, Optional
 import jax
 import numpy as np
 
-__all__ = ["InpaintingServer", "serve"]
+__all__ = ["InpaintingServer", "serve", "ServerOverloadedError",
+           "DeadlineExceededError"]
+
+
+class ServerOverloadedError(RuntimeError):
+    """Queue depth hit max_queue — the request was REJECTED at submit time
+    (HTTP 429), not silently enqueued behind an unbounded backlog."""
+
+
+class DeadlineExceededError(RuntimeError):
+    """The request waited in the queue past its deadline and was shed
+    before running (HTTP 504) — stale work never occupies the device."""
 
 
 class _Request:
-    __slots__ = ("image", "mask", "seed", "preset", "future")
+    __slots__ = ("image", "mask", "seed", "preset", "future", "deadline")
 
-    def __init__(self, image, mask, seed, preset):
+    def __init__(self, image, mask, seed, preset, deadline=None):
         self.image = image
         self.mask = mask
         self.seed = seed
         self.preset = preset
+        self.deadline = deadline  # absolute time.monotonic(), or None
         self.future: Future = Future()
 
 
@@ -76,7 +88,9 @@ class InpaintingServer:
                  program_cache_dir: Optional[str] = None,
                  compress_responses: bool = False,
                  adaptive_wait: bool = True,
-                 presets: Optional[Dict] = None):
+                 presets: Optional[Dict] = None,
+                 max_queue: Optional[int] = None,
+                 default_deadline_s: Optional[float] = None):
         self.pipeline = pipeline
         # sampler quality tiers served side by side: name -> SamplerConfig.
         # The FIRST entry is the default for requests that name none; each
@@ -108,12 +122,27 @@ class InpaintingServer:
             raise ValueError("batch_sizes must include batch_size")
         self.base_seed = base_seed
         self._seed_counter = itertools.count(1)  # atomic in CPython
+        # OVERLOAD POLICY (round-3 verdict #3): the queue is bounded —
+        # submit raises ServerOverloadedError (HTTP 429) past max_queue
+        # instead of growing an unbounded backlog every client then waits
+        # out; requests carry an optional deadline and are SHED (HTTP 504)
+        # if they'd start past it, so a burst never makes the device chew
+        # through work nobody is waiting for anymore.
+        if max_queue is None:
+            max_queue = max(64, 8 * batch_size)
+        if max_queue < 1:
+            raise ValueError("max_queue must be >= 1")
+        self.max_queue = max_queue
+        self.default_deadline_s = default_deadline_s
         # pending requests: a deque under a condition variable (instead of
         # queue.Queue) so the dispatcher can drain BY PRESET without
         # reordering other presets' requests
         self._pending: "collections.deque[_Request]" = collections.deque()
         self._cv = threading.Condition()
-        self.stats = {"requests": 0, "batches": 0,
+        # stats are mutated by the dispatcher AND submit threads; the lock
+        # keeps multi-key snapshots (healthz) from reading torn state
+        self._stats_lock = threading.Lock()
+        self.stats = {"requests": 0, "batches": 0, "rejected": 0, "shed": 0,
                       "batches_by_size": {s: 0 for s in self.batch_sizes},
                       "requests_by_preset": {p: 0 for p in self.presets}}
         self._stop = threading.Event()
@@ -131,7 +160,14 @@ class InpaintingServer:
 
     def submit(self, image: np.ndarray, mask: np.ndarray,
                seed: Optional[int] = None,
-               preset: Optional[str] = None) -> Future:
+               preset: Optional[str] = None,
+               deadline_s: Optional[float] = None) -> Future:
+        """Enqueue one request; returns its Future.
+
+        Raises ServerOverloadedError when the queue is at max_queue.
+        `deadline_s` (seconds from now; default = server default_deadline_s,
+        None = never) sheds the request with DeadlineExceededError if it
+        would START past the deadline."""
         S = self.pipeline.config.unet.image_size
         if image.shape != (S, S, 3):
             raise ValueError(f"image must be [{S},{S},3], got {image.shape}")
@@ -151,12 +187,50 @@ class InpaintingServer:
             # fold_in/PRNGKey overflow outside uint32 — reject up front as a
             # client error instead of blowing up the dispatcher thread
             raise ValueError(f"seed must be in [0, 2**32), got {seed}")
+        if deadline_s is None:
+            deadline_s = self.default_deadline_s
+        deadline = (time.monotonic() + deadline_s
+                    if deadline_s is not None else None)
         req = _Request(np.asarray(image, np.float32),
-                       np.asarray(mask, np.float32), seed, preset)
+                       np.asarray(mask, np.float32), seed, preset, deadline)
         with self._cv:
+            if len(self._pending) >= self.max_queue:
+                with self._stats_lock:
+                    self.stats["rejected"] += 1
+                raise ServerOverloadedError(
+                    f"queue full ({self.max_queue} pending); retry later")
             self._pending.append(req)
             self._cv.notify()
         return req.future
+
+    def stats_snapshot(self) -> dict:
+        """A consistent copy of the counters plus the live queue depth."""
+        with self._stats_lock:
+            snap = {k: (dict(v) if isinstance(v, dict) else v)
+                    for k, v in self.stats.items()}
+        with self._cv:
+            snap["queue_depth"] = len(self._pending)
+        return snap
+
+    def _shed_expired(self, batch):
+        """Fail (don't run) batch members already past their deadline;
+        returns the still-live requests."""
+        now = time.monotonic()
+        live = []
+        shed = 0
+        for r in batch:
+            if r.deadline is not None and now > r.deadline:
+                shed += 1
+                if not r.future.done():
+                    r.future.set_exception(DeadlineExceededError(
+                        f"request waited {now - r.deadline:.3f}s past its "
+                        "deadline; shed before running"))
+            else:
+                live.append(r)
+        if shed:
+            with self._stats_lock:
+                self.stats["shed"] += shed
+        return live
 
     def warmup(self):
         """Compile every batch-shape program up front (blocking) so no
@@ -261,6 +335,9 @@ class InpaintingServer:
                         self._cv.wait(timeout=timeout)
                         self._drain_matching(batch, first.preset)
             self._saturated = len(batch) >= self.batch_size
+            batch = self._shed_expired(batch)
+            if not batch:
+                continue
             # the dispatcher is the single point of failure for every
             # in-flight request: it must survive ANY per-batch error (a
             # dead loop would hang all future clients until their timeout)
@@ -304,10 +381,11 @@ class InpaintingServer:
         for i, r in enumerate(batch):
             if not r.future.done():
                 r.future.set_result(out[i])
-        self.stats["requests"] += n
-        self.stats["batches"] += 1
-        self.stats["batches_by_size"][size] += 1
-        self.stats["requests_by_preset"][batch[0].preset] += n
+        with self._stats_lock:
+            self.stats["requests"] += n
+            self.stats["batches"] += 1
+            self.stats["batches_by_size"][size] += 1
+            self.stats["requests_by_preset"][batch[0].preset] += n
 
     def close(self):
         """Stop the dispatcher and FAIL any still-pending requests — a
@@ -335,9 +413,10 @@ def _make_handler(server: InpaintingServer):
                 body = json.dumps({
                     "status": "ok",
                     "batch_size": server.batch_size,
+                    "max_queue": server.max_queue,
                     "presets": sorted(server.presets),
                     "default_preset": server.default_preset,
-                    **server.stats,
+                    **server.stats_snapshot(),
                 }).encode()
                 self.send_response(200)
                 self.send_header("Content-Type", "application/json")
@@ -357,8 +436,17 @@ def _make_handler(server: InpaintingServer):
                                allow_pickle=False)
                 seed = int(data["seed"]) if "seed" in data else None
                 preset = str(data["preset"]) if "preset" in data else None
+                # optional per-request deadline: queue wait past it sheds
+                # the request with 504 instead of running stale work
+                timeout_ms = (float(data["timeout_ms"])
+                              if "timeout_ms" in data else None)
+                if timeout_ms is not None and timeout_ms <= 0:
+                    raise ValueError(
+                        f"timeout_ms must be > 0, got {timeout_ms}")
                 fut = server.submit(data["image"], data["mask"], seed,
-                                    preset=preset)
+                                    preset=preset,
+                                    deadline_s=(timeout_ms / 1000.0
+                                                if timeout_ms else None))
                 result = fut.result(timeout=600)
                 buf = io.BytesIO()
                 if server.compress_responses:
@@ -368,6 +456,22 @@ def _make_handler(server: InpaintingServer):
                 body = buf.getvalue()
                 self.send_response(200)
                 self.send_header("Content-Type", "application/octet-stream")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+            except ServerOverloadedError as e:
+                body = json.dumps({"error": str(e),
+                                   "max_queue": server.max_queue}).encode()
+                self.send_response(429)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Retry-After", "1")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+            except DeadlineExceededError as e:
+                body = json.dumps({"error": str(e)}).encode()
+                self.send_response(504)
+                self.send_header("Content-Type", "application/json")
                 self.send_header("Content-Length", str(len(body)))
                 self.end_headers()
                 self.wfile.write(body)
@@ -396,7 +500,8 @@ def serve(pipeline, host: str = "127.0.0.1", port: int = 8571,
           batch_sizes: Optional[tuple] = None, base_seed: int = 0,
           warmup: bool = False, program_cache_dir: Optional[str] = None,
           compress_responses: bool = False, adaptive_wait: bool = True,
-          presets: Optional[Dict] = None):
+          presets: Optional[Dict] = None, max_queue: Optional[int] = None,
+          default_deadline_s: Optional[float] = None):
     """Start the HTTP server; returns (httpd, dispatcher) — call
     httpd.serve_forever() (or run it in a thread for tests)."""
     dispatcher = InpaintingServer(pipeline, batch_size, max_wait_ms,
@@ -405,7 +510,8 @@ def serve(pipeline, host: str = "127.0.0.1", port: int = 8571,
                                   program_cache_dir=program_cache_dir,
                                   compress_responses=compress_responses,
                                   adaptive_wait=adaptive_wait,
-                                  presets=presets)
+                                  presets=presets, max_queue=max_queue,
+                                  default_deadline_s=default_deadline_s)
     if warmup:
         dispatcher.warmup()
     httpd = ThreadingHTTPServer((host, port), _make_handler(dispatcher))

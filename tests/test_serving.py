@@ -412,3 +412,190 @@ def test_multi_preset_warmup_compiles_each_tier(pipeline):
                 assert ((s, S, S, 3), cfg, None) in pipeline._jitted
     finally:
         server.close()
+
+
+# ---------------------------------------------------------------------------
+# Overload behavior (round-3 verdict #3): bounded queue, deadline shed,
+# locked stats, and a mixed-preset stress run.
+# ---------------------------------------------------------------------------
+
+def test_submit_rejects_when_queue_full(pipeline):
+    from fidm_tpu.serving import ServerOverloadedError
+
+    # a dispatcher that never drains: stop it before submitting
+    server = InpaintingServer(pipeline, batch_size=2, max_queue=3)
+    server._stop.set()
+    server._thread.join(timeout=5)
+    try:
+        im, m = _sample_input()
+        for _ in range(3):
+            server.submit(im, m, seed=1)
+        with pytest.raises(ServerOverloadedError, match="queue full"):
+            server.submit(im, m, seed=1)
+        snap = server.stats_snapshot()
+        assert snap["rejected"] == 1
+        assert snap["queue_depth"] == 3
+    finally:
+        server.close()
+
+
+def test_expired_requests_are_shed_not_run(pipeline):
+    from fidm_tpu.serving import DeadlineExceededError
+
+    server = InpaintingServer(pipeline, batch_size=2)
+    # park the dispatcher by stopping it, enqueue with a tiny deadline,
+    # wait past it, then run the shed path directly (deterministic — no
+    # timing race on whether the dispatcher got there first)
+    server._stop.set()
+    server._thread.join(timeout=5)
+    try:
+        im, m = _sample_input()
+        f_stale = server.submit(im, m, seed=1, deadline_s=0.01)
+        f_live = server.submit(im, m, seed=1)  # no deadline
+        import time as _t
+        _t.sleep(0.05)
+        with server._cv:
+            batch = list(server._pending)
+            server._pending.clear()
+        live = server._shed_expired(batch)
+        assert [r.future for r in live] == [f_live]
+        with pytest.raises(DeadlineExceededError):
+            f_stale.result(timeout=1)
+        assert server.stats_snapshot()["shed"] == 1
+        assert not f_live.done()
+    finally:
+        server.close()
+
+
+def _http_post(port, im, m, **extra):
+    buf = io.BytesIO()
+    np.savez(buf, image=im, mask=m, **extra)
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{port}/inpaint", data=buf.getvalue(),
+        headers={"Content-Type": "application/octet-stream"})
+    return urllib.request.urlopen(req, timeout=120)
+
+
+def test_http_overload_returns_429(pipeline):
+    import json as _json
+    import urllib.error
+
+    httpd, dispatcher = serve(pipeline, port=0, batch_size=1, max_queue=1)
+    port = httpd.server_address[1]
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    im, m = _sample_input()
+    try:
+        # dead dispatcher -> the queue can never drain; fill it directly
+        dispatcher._stop.set()
+        dispatcher._thread.join(timeout=5)
+        dispatcher.submit(im, m, seed=1)
+        with pytest.raises(urllib.error.HTTPError) as exc:
+            _http_post(port, im, m, seed=2)
+        assert exc.value.code == 429
+        assert exc.value.headers["Retry-After"] == "1"
+        body = _json.loads(exc.value.read())
+        assert "queue full" in body["error"]
+        snap = dispatcher.stats_snapshot()
+        assert snap["rejected"] == 1 and snap["queue_depth"] == 1
+    finally:
+        httpd.shutdown()
+        dispatcher.close()
+
+
+def test_http_deadline_shed_returns_504(pipeline):
+    import json as _json
+    import urllib.error
+
+    httpd, dispatcher = serve(pipeline, port=0, batch_size=1)
+    port = httpd.server_address[1]
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    im, m = _sample_input()
+    try:
+        # a microscopic client deadline (1 ns): by the time the dispatcher
+        # pops the request it is guaranteed expired -> shed -> 504
+        with pytest.raises(urllib.error.HTTPError) as exc:
+            _http_post(port, im, m, seed=1, timeout_ms=1e-6)
+        assert exc.value.code == 504
+        assert "deadline" in _json.loads(exc.value.read())["error"]
+        assert dispatcher.stats_snapshot()["shed"] == 1
+        # a sane deadline still serves normally
+        resp = _http_post(port, im, m, seed=1, timeout_ms=120000.0)
+        assert resp.status == 200
+    finally:
+        httpd.shutdown()
+        dispatcher.close()
+
+
+def test_overload_stress_mixed_presets(pipeline):
+    """4 threads x 50 mixed-preset requests against max_queue=16: no hang,
+    queue depth stays bounded, every future resolves (result OR overload/
+    shed error), and the counters reconcile exactly."""
+    import time as _t
+
+    from fidm_tpu.serving import DeadlineExceededError, ServerOverloadedError
+
+    fast = SamplerConfig(method="ddim", num_steps=2, eta=1.0, injection=True)
+    final = SamplerConfig(method="ddim", num_steps=5, eta=0.0,
+                          injection=True)
+    server = InpaintingServer(pipeline, batch_size=4, max_wait_ms=1.0,
+                              presets={"final": final, "fast": fast},
+                              max_queue=16, default_deadline_s=60.0)
+    im, m = _sample_input(3)
+    ok = []
+    rejected = []
+    shed = []
+    errors = []
+    lock = threading.Lock()
+
+    def client(tid):
+        for i in range(50):
+            preset = ("fast", "final")[(tid + i) % 2]
+            try:
+                fut = server.submit(im, m, seed=tid * 1000 + i,
+                                    preset=preset)
+            except ServerOverloadedError:
+                with lock:
+                    rejected.append((tid, i))
+                _t.sleep(0.002)
+                continue
+            try:
+                out = fut.result(timeout=300)
+                with lock:
+                    ok.append(out)
+            except DeadlineExceededError:
+                with lock:
+                    shed.append((tid, i))
+            except Exception as e:  # anything else is a real failure
+                with lock:
+                    errors.append(e)
+
+    try:
+        threads = [threading.Thread(target=client, args=(t,))
+                   for t in range(4)]
+        t0 = _t.perf_counter()
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=600)
+            assert not t.is_alive(), "stress client hung"
+        wall = _t.perf_counter() - t0
+        assert not errors, errors
+        snap = server.stats_snapshot()
+        # every request accounted for, exactly once
+        assert len(ok) + len(rejected) + len(shed) == 200
+        assert snap["requests"] == len(ok)
+        assert snap["rejected"] == len(rejected)
+        assert snap["shed"] == len(shed)
+        assert snap["queue_depth"] == 0
+        assert snap["requests_by_preset"]["fast"] + \
+            snap["requests_by_preset"]["final"] == len(ok)
+        # bounded memory: the queue never admitted past the cap (indirect:
+        # rejections only happen AT the cap, and depth ended at 0)
+        for out in ok[:8]:
+            keep = m[..., 0] < 0.5
+            np.testing.assert_array_equal(out, np.asarray(out))
+            np.testing.assert_array_equal(out[keep], im[keep])
+        print(f"stress: {len(ok)} served, {len(rejected)} rejected(429), "
+              f"{len(shed)} shed(504) in {wall:.1f}s")
+    finally:
+        server.close()
