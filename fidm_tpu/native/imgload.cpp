@@ -40,6 +40,17 @@ namespace {
 
 constexpr int kPrecisionBits = 32 - 8 - 2;
 
+// Decompression-bomb guard: a crafted header can declare enormous
+// dimensions; under Linux overcommit the multi-GB malloc can "succeed" and
+// the decoder then OOMs the process while writing rows. Cap at Pillow's
+// default MAX_IMAGE_PIXELS (89,478,485) so anything we reject falls back to
+// PIL, which applies its own bomb policy (warn <=2x, error beyond).
+constexpr uint64_t kMaxPixels = 89478485ull;
+
+static inline bool dims_ok(uint64_t w, uint64_t h) {
+  return w > 0 && h > 0 && w * h <= kMaxPixels;
+}
+
 static inline uint8_t clip8(int in) {
   int v = in >> kPrecisionBits;
   if (v < 0) return 0;
@@ -177,6 +188,10 @@ static uint8_t* decode_jpeg(FILE* f, int* w, int* h) {
   jpeg_create_decompress(&cinfo);
   jpeg_stdio_src(&cinfo, f);
   jpeg_read_header(&cinfo, TRUE);
+  if (!dims_ok(cinfo.image_width, cinfo.image_height)) {
+    jpeg_destroy_decompress(&cinfo);
+    return nullptr;  // zero-dim or decompression bomb: PIL fallback decides
+  }
   cinfo.out_color_space = JCS_RGB;  // libjpeg converts gray/YCbCr -> RGB
   jpeg_start_decompress(&cinfo);
   if (cinfo.output_components != 3) {
@@ -196,7 +211,16 @@ static uint8_t* decode_jpeg(FILE* f, int* w, int* h) {
     jpeg_read_scanlines(&cinfo, &row, 1);
   }
   jpeg_finish_decompress(&cinfo);
+  // libjpeg "recovers" from truncated/corrupt streams by gray-filling and
+  // only WARNING ("Premature end of JPEG file"); Pillow raises on those
+  // files. Treat any warning as failure so the PIL fallback owns the
+  // behavior — silent gray-filled training images are worse than an error.
+  bool corrupt = jerr.mgr.num_warnings > 0;
   jpeg_destroy_decompress(&cinfo);
+  if (corrupt) {
+    free(buf);
+    return nullptr;
+  }
   return buf;
 }
 
@@ -226,6 +250,10 @@ static uint8_t* decode_png(FILE* f, int* w, int* h) {
   png_read_info(png, info);
   png_uint_32 width = png_get_image_width(png, info);
   png_uint_32 height = png_get_image_height(png, info);
+  if (!dims_ok(width, height)) {
+    png_destroy_read_struct(&png, &info, nullptr);
+    return nullptr;  // zero-dim or decompression bomb: PIL fallback decides
+  }
   int color = png_get_color_type(png, info);
   int depth = png_get_bit_depth(png, info);
   // Normalize everything to 8-bit RGB, alpha dropped (Pillow convert("RGB")
@@ -286,6 +314,9 @@ static uint8_t* decode_file(const char* path, int* w, int* h) {
 // Full pipeline for one image: decode -> (optional L) -> resize -> out.
 // mode 3 = RGB (out size*size*3), mode 1 = grayscale (out size*size).
 static int load_one(const char* path, int size, int mode, uint8_t* out) {
+  // a negative size would turn into a huge size_t in the resampler's
+  // vector::resize and throw across the C ABI (process-terminating)
+  if (size <= 0 || (mode != 1 && mode != 3)) return 2;
   int w = 0, h = 0;
   uint8_t* rgb = decode_file(path, &w, &h);
   if (!rgb) return 1;
@@ -324,6 +355,10 @@ int fidm_load_image(const char* path, int size, int mode, uint8_t* out) {
 int fidm_load_batch(const char* const* paths, int n, int size, int mode,
                     uint8_t* out, uint8_t* ok, int nthreads) {
   if (n <= 0) return 0;
+  if (size <= 0 || (mode != 1 && mode != 3)) {
+    for (int i = 0; i < n; ++i) ok[i] = 0;
+    return n;
+  }
   size_t item = static_cast<size_t>(size) * size * mode;
   if (nthreads <= 0) {
     unsigned hw = std::thread::hardware_concurrency();

@@ -70,6 +70,7 @@ extern "C" {
 
 float fidm_brush_mask(float* mask, int size, uint64_t seed,
                       float cov_min, float cov_max) {
+    if (size <= 0) return 0.0f;  // n==0 would divide by zero in coverage()
     Rng rng(seed);
     const int n = size * size;
     std::memset(mask, 0, sizeof(float) * n);
@@ -103,20 +104,29 @@ float fidm_brush_mask(float* mask, int size, uint64_t seed,
 
 float fidm_box_mask(float* mask, int size, uint64_t seed,
                     float cov_min, float cov_max) {
+    if (size <= 1) {  // degenerate canvas: nothing a >=1px box can target
+        if (size == 1) mask[0] = 0.0f;
+        return 0.0f;
+    }
     Rng rng(seed);
     const int n = size * size;
     std::memset(mask, 0, sizeof(float) * n);
     const double target = rng.uniform(cov_min, cov_max);
 
+    // min box dim is 4px, but never more than size-1: std::clamp with
+    // lo > hi is UB, and the UB outcome here (h = 4 > size) made
+    // randint(0, size - h + 1) negative -> out-of-bounds row writes for
+    // size < 5 (found by the round-3 native review/fuzz pass)
+    const double lo = std::min(4.0, (double)size - 1.0);
     for (int box = 0; box < 8; ++box) {
         const double cov = coverage(mask, n);
         if (cov >= target) break;
         const double remaining = std::max(target - cov, 0.01);
         const double area = remaining * n * rng.uniform(0.5, 1.2);
         const double aspect = rng.uniform(0.4, 2.5);
-        const int h = (int)std::clamp(std::sqrt(area * aspect), 4.0,
+        const int h = (int)std::clamp(std::sqrt(area * aspect), lo,
                                       size - 1.0);
-        const int w = (int)std::clamp(std::sqrt(area / aspect), 4.0,
+        const int w = (int)std::clamp(std::sqrt(area / aspect), lo,
                                       size - 1.0);
         const int y = (int)rng.randint(0, size - h + 1);
         const int x = (int)rng.randint(0, size - w + 1);
@@ -130,6 +140,7 @@ float fidm_box_mask(float* mask, int size, uint64_t seed,
 // uint8 RGB [h,w,3] + mask [h,w] -> image [-1,1] and masked_image in one pass
 void fidm_normalize_compose(const uint8_t* img, const float* mask,
                             float* image, float* masked, int h, int w) {
+    if (h <= 0 || w <= 0) return;  // (size_t)(-1 * w) would wrap huge
     const size_t npix = (size_t)h * w;
     for (size_t p = 0; p < npix; ++p) {
         const float keep = 1.0f - mask[p];
