@@ -9,10 +9,15 @@ vs_baseline is the speedup over the reference's DDIM-100 time/sample of
 
 Env overrides: FIDM_BENCH_BATCH (default 16), FIDM_BENCH_REPEATS (default 3),
 FIDM_BENCH_STEPS (default 100), FIDM_BENCH_METHOD (ddim | ddpm | dpm++2m |
-dpm++2m-sde | dpm++3m | repaint), FIDM_BENCH_ENCODER_CACHE (encoder-reuse period;
-1 = exact sampling), FIDM_BENCH_JUMP_LEN / FIDM_BENCH_JUMP_N (repaint
-time-travel parameters).
+dpm++2m-sde | dpm++3m | repaint), FIDM_BENCH_ENCODER_CACHE (cache period;
+default 3, 1 = exact sampling as the headline), FIDM_BENCH_CACHE_BRANCH
+(deep-trunk branch depth, default 1), FIDM_BENCH_CACHE_TAIL (exact tail
+steps, default 10), FIDM_BENCH_JUMP_LEN / FIDM_BENCH_JUMP_N (repaint
+time-travel parameters). The default headline is the quality-qualified
+`ddim-100-deep` preset; when caching is on, the cache-free exact time is
+measured in the same run and reported as exact_time_per_sample_s.
 """
+import dataclasses
 import json
 import os
 import time
@@ -42,8 +47,17 @@ def main():
     repeats = int(os.environ.get("FIDM_BENCH_REPEATS", "3"))
     steps = int(os.environ.get("FIDM_BENCH_STEPS", "100"))
     method = os.environ.get("FIDM_BENCH_METHOD", "ddim")
-    enc_cache = int(os.environ.get("FIDM_BENCH_ENCODER_CACHE", "1"))
-    cache_branch = int(os.environ.get("FIDM_BENCH_CACHE_BRANCH", "0"))
+    # Headline default since round 3: the quality-qualified `ddim-100-deep`
+    # preset (DeepCache deep-trunk, period 3 / branch 1 / exact tail 10) —
+    # -0.85 dB hole-PSNR on the toy protocol for 1.55x over exact sampling
+    # (BENCH.md "Feature-reuse caching"). The exact config is measured in
+    # the same run and reported as exact_time_per_sample_s; set
+    # FIDM_BENCH_ENCODER_CACHE=1 to make exact sampling the headline again.
+    enc_cache = int(os.environ.get("FIDM_BENCH_ENCODER_CACHE", "3"))
+    cache_branch = int(os.environ.get("FIDM_BENCH_CACHE_BRANCH", "1"))
+    cache_tail = int(os.environ.get("FIDM_BENCH_CACHE_TAIL", "10"))
+    if enc_cache <= 1:
+        cache_branch, cache_tail = 0, 0
     baseline = BASELINES.get((method, steps), BASELINE_TIME_PER_SAMPLE)
 
     from fidm_tpu.models import ffhq256_config
@@ -59,6 +73,7 @@ def main():
             eta=0.9, injection=True,
             encoder_cache_period=enc_cache,
             cache_branch=cache_branch,
+            encoder_cache_tail=cache_tail,
             jump_length=int(os.environ.get("FIDM_BENCH_JUMP_LEN", "10")),
             jump_n_sample=int(os.environ.get("FIDM_BENCH_JUMP_N", "10")),
         ),
@@ -96,8 +111,12 @@ def main():
 
     time_per_sample = dt / (repeats * batch)
     imgs_per_sec = 1.0 / time_per_sample
+    label = f"{method.upper()}-{steps}"
+    if enc_cache > 1:
+        label += (f", deep-cache p{enc_cache}/b{cache_branch}"
+                  if cache_branch else f", encoder-cache p{enc_cache}")
     result = {
-        "metric": f"{S}^2 inpainted images/sec/chip ({method.upper()}-{steps})",
+        "metric": f"{S}^2 inpainted images/sec/chip ({label})",
         "value": round(imgs_per_sec, 4),
         "unit": "img/s",
         # reference times are all 256^2; a cross-resolution ratio would be
@@ -110,8 +129,28 @@ def main():
     }
     if enc_cache > 1:
         result["encoder_cache_period"] = enc_cache
+        result["encoder_cache_tail"] = cache_tail
         if cache_branch:
             result["cache_branch"] = cache_branch
+            # measured quality cost of the headline preset (toy protocol,
+            # examples/deepcache_frontier.py; see BENCH.md)
+            if (enc_cache, cache_branch, cache_tail) == (3, 1, 10):
+                result["hole_psnr_delta_db_toy"] = -0.85
+        # exact sampling measured in the same run, same inputs — the
+        # cache-free anchor the speedup is claimed against
+        exact = dataclasses.replace(cfg.sampler, encoder_cache_period=1,
+                                    cache_branch=0, encoder_cache_tail=0)
+        sync(pipe.inpaint(gt, mask, key, sampler=exact))  # compile
+        t0 = time.perf_counter()
+        acc = None
+        for i in range(repeats):
+            out = pipe.inpaint(gt, mask, jax.random.fold_in(key, i),
+                               sampler=exact)
+            probe = out[0, :2, :2].sum()
+            acc = probe if acc is None else acc + probe
+        assert np.isfinite(float(acc))
+        result["exact_time_per_sample_s"] = round(
+            (time.perf_counter() - t0) / (repeats * batch), 4)
     print(json.dumps(result))
 
 
