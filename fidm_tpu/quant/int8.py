@@ -40,7 +40,11 @@ def _quantize_pallas(x2d: jnp.ndarray, seed: int) -> Tuple[jnp.ndarray, jnp.ndar
         # stochastic rounding to integer: floor(x + u), u ~ U[0,1) from the
         # hardware PRNG (pltpu.stochastic_round only targets float dtypes)
         bits = pltpu.bitcast(pltpu.prng_random_bits(scaled.shape), jnp.uint32)
-        u = (bits >> 8).astype(jnp.float32) * (1.0 / (1 << 24))
+        # >>8 keeps 24 bits, so the int32 view is value-preserving; Mosaic
+        # lowers int32->f32 but NOT uint32->f32 (measured on the real chip —
+        # the CPU interpreter accepts both, so only a TPU run catches this)
+        u = pltpu.bitcast(bits >> 8, jnp.int32).astype(jnp.float32) \
+            * (1.0 / (1 << 24))
         q = jnp.floor(scaled + u)
         values_ref[:] = jnp.clip(q, -127, 127).astype(jnp.int8)
 

@@ -365,6 +365,117 @@ def test_fid_stats_cli_and_evaluate_consumes_them(data_tree, tmp_path):
     assert np.isfinite(results["kid_mean"])
 
 
+def test_fid_stats_fake_dir_matches_array_mode(data_tree, tmp_path):
+    """Directory-compare mode (--fake_dir, the pytorch-fid two-dirs
+    protocol the reference shells out to, test_inpainting_better.py:151-223)
+    must equal FID computed from in-memory arrays of the same images —
+    so external pytorch-fid numbers are directly comparable (VERDICT r2
+    item 8 done-criterion)."""
+    import torch
+    from oracle_fid_inception import FIDInceptionOracle, randomize
+    from PIL import Image
+
+    from fidm_tpu.cli.fid_stats import main as stats_main
+    from fidm_tpu.data.dataset import load_image
+    from fidm_tpu.metrics import InceptionFeatureExtractor
+    from fidm_tpu.metrics.fid import compute_statistics, frechet_distance
+
+    img_dir, _ = data_tree
+    fid_w = str(tmp_path / "pt_inception.pth")
+    torch.save(randomize(FIDInceptionOracle(), seed=1).state_dict(), fid_w)
+
+    # "generated" set: shifted copies of the real images
+    fake_dir = tmp_path / "fake"
+    fake_dir.mkdir()
+    rng = np.random.default_rng(5)
+    for i in range(4):
+        arr = rng.integers(0, 255, (32, 32, 3), dtype=np.uint8)
+        Image.fromarray(arr).save(fake_dir / f"gen_{i}.png")
+
+    report = stats_main([
+        "--fake_dir", str(fake_dir), "--data_dir", img_dir,
+        "--fid_weights", fid_w, "--image_size", "32", "--batch_size", "4",
+    ])
+    assert report["num_real"] == 6 and report["num_fake"] == 4
+    assert "kid_mean" in report  # raw real features present in dir mode
+
+    # array mode: identical images through the extractor directly
+    extractor = InceptionFeatureExtractor.from_torch_file(fid_w, jit=False)
+
+    def feats(d, n):
+        imgs = np.stack([load_image(str(p), 32)
+                         for p in sorted(d.glob("*.png"))[:n]])
+        return extractor((imgs + 1.0) / 2.0)
+
+    from pathlib import Path
+
+    mu_r, sig_r = compute_statistics(feats(Path(img_dir), 6))
+    mu_f, sig_f = compute_statistics(feats(fake_dir, 4))
+    fid_arr = float(frechet_distance(mu_r, sig_r, mu_f, sig_f))
+    assert np.isclose(report["fid"], fid_arr, rtol=1e-6), \
+        (report["fid"], fid_arr)
+
+    # dir-vs-stats path: same number again through a stats npz round-trip
+    out_npz = str(tmp_path / "ref_stats.npz")
+    stats_main(["--data_dir", img_dir, "--fid_weights", fid_w,
+                "--out", out_npz, "--image_size", "32", "--batch_size", "4"])
+    report2 = stats_main([
+        "--fake_dir", str(fake_dir), "--fid_stats", out_npz,
+        "--fid_weights", fid_w, "--image_size", "32", "--batch_size", "4",
+    ])
+    assert np.isclose(report2["fid"], fid_arr, rtol=1e-6)
+    # features ride in the npz as f16 — KID survives the round-trip
+    # (to f16 precision; the randomized oracle's features are huge, so
+    # the degree-3 kernel amplifies the ~1e-3 relative storage error)
+    assert np.isclose(report2["kid_mean"], report["kid_mean"], rtol=0.05)
+
+
+def test_quantize_cli_calibrate_end_to_end(data_tree, tmp_path):
+    """cli.quantize --calibrate on a tiny reference-layout checkpoint:
+    the full seam (torch load -> calibration forward over real data at
+    random timesteps -> calibrated scales -> npz) executed as one command
+    (the reference's scripts/quantize_model.py workflow)."""
+    import sys
+
+    import torch
+
+    ref = "/root/reference/code"
+    if not os.path.isdir(ref):
+        pytest.skip("reference tree not mounted")
+    sys.path.insert(0, ref)
+    from unet import UNetModel
+
+    from fidm_tpu.cli.quantize import load_quantized, main as quant_main
+
+    torch.manual_seed(0)
+    tm = UNetModel(image_size=32, in_channels=9, model_channels=32,
+                   out_channels=6, num_res_blocks=1,
+                   attention_resolutions=(2,), channel_mult=(1, 2),
+                   num_heads=2, num_head_channels=16,
+                   use_scale_shift_norm=True, resblock_updown=True).eval()
+    with torch.no_grad():
+        for p in tm.parameters():
+            p.copy_(torch.randn_like(p) * 0.05)
+    ckpt = str(tmp_path / "ref_ckpt.pt")
+    torch.save({"model_state_dict": tm.state_dict()}, ckpt)
+
+    img_dir, mask_dir = data_tree
+    out_npz = str(tmp_path / "model_int8.npz")
+    report = quant_main([
+        "--checkpoint", ckpt, "--out", out_npz,
+        "--calibrate", img_dir, "--calib_samples", "4",
+        "--calib_batch", "2", "--diffusion_steps", "100",
+        "--min_size", "512", "--image_size", "32",
+        "--model_channels", "32", "--channel_mult", "1", "2",
+        "--num_heads", "2", "--num_head_channels", "16",
+        "--attention_resolutions", "2",
+    ])
+    assert report["calibrated"] and report["tensors_quantized"] > 5
+    assert report["compression"] > 2.0
+    tree = load_quantized(out_npz)
+    assert any(isinstance(v, dict) for v in tree.values())
+
+
 def test_lora_train_then_evaluate_roundtrip(data_tree, tmp_path):
     """LoRA training checkpoints store only the adapter pytree; evaluation
     must merge it onto the frozen base cli.train persists (round-2 fix —
