@@ -21,6 +21,80 @@ import numpy as np
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
+def run_overload(args, url, payloads, tier_names, server):
+    """Fire every request at once against a queue bounded at 2x the device
+    batch: successes / 429-rejects / 504-sheds are all CORRECT outcomes —
+    the measured claims are (a) the server never hangs or grows an
+    unbounded backlog, (b) accepted requests keep a bounded p99, (c) the
+    three outcome counts add up (no lost requests)."""
+    import urllib.error
+
+    # deadline: generous multiple of one warm request so 504s only fire
+    # for genuinely stale queue entries, not healthy waits
+    if args.timeout_ms is None:
+        t = time.perf_counter()
+        req = urllib.request.Request(url, data=payloads[tier_names[0]],
+                                     method="POST")
+        with urllib.request.urlopen(req, timeout=600) as r:
+            r.read()
+        args.timeout_ms = 8 * 1000.0 * (time.perf_counter() - t)
+
+    buf = io.BytesIO()
+    base = np.load(io.BytesIO(payloads[tier_names[0]]))
+    np.savez(buf, timeout_ms=np.float64(args.timeout_ms),
+             **{k: base[k] for k in base.files})
+    payload = buf.getvalue()
+
+    outcomes = {200: [], 429: 0, 504: 0}
+    lock = threading.Lock()
+
+    def worker():
+        t = time.perf_counter()
+        req = urllib.request.Request(url, data=payload, method="POST")
+        try:
+            with urllib.request.urlopen(req, timeout=600) as r:
+                r.read()
+            code = 200
+        except urllib.error.HTTPError as e:
+            code = e.code
+            e.read()
+        with lock:
+            if code == 200:
+                outcomes[200].append(time.perf_counter() - t)
+            else:
+                outcomes[code] = outcomes.get(code, 0) + 1
+
+    t0 = time.perf_counter()
+    threads = [threading.Thread(target=worker) for _ in range(args.requests)]
+    for th in threads:  # all at once — way past max_queue
+        th.start()
+    for th in threads:
+        th.join()
+    wall = time.perf_counter() - t0
+
+    ok = np.sort(np.asarray(outcomes[200]))
+    n_ok = len(ok)
+    result = {
+        "mode": "overload",
+        "requests": args.requests,
+        "max_queue": server.max_queue,
+        "timeout_ms": round(args.timeout_ms, 1),
+        "ok": n_ok,
+        "rejected_429": outcomes[429],
+        "shed_504": outcomes[504],
+        "other": {str(k): v for k, v in outcomes.items()
+                  if k not in (200, 429, 504)},
+        "wall_s": round(wall, 3),
+        "ok_p50_s": round(float(ok[n_ok // 2]), 3) if n_ok else None,
+        "ok_p99_s": round(float(ok[min(int(n_ok * 0.99), n_ok - 1)]), 3)
+        if n_ok else None,
+    }
+    print(json.dumps(result))
+    accounted = n_ok + outcomes[429] + outcomes[504] + sum(
+        v for k, v in outcomes.items() if k not in (200, 429, 504))
+    assert accounted == args.requests, (accounted, args.requests)
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--requests", type=int, default=32)
@@ -39,6 +113,15 @@ def main():
     p.add_argument("--tiny", action="store_true",
                    help="16² toy model on CPU — smoke-tests the harness "
                         "itself (numbers are meaningless)")
+    p.add_argument("--overload", action="store_true",
+                   help="overload protocol: bound the queue at 2x device "
+                        "batch, attach per-request deadlines, and fire all "
+                        "--requests at once; reports success p50/p99 plus "
+                        "429 (rejected) / 504 (shed) counts — measures the "
+                        "bounded-queue behavior, not peak throughput")
+    p.add_argument("--timeout_ms", type=float, default=None,
+                   help="per-request deadline for --overload (default: "
+                        "8x the single-request warm latency)")
     args = p.parse_args()
 
     import jax
@@ -84,8 +167,9 @@ def main():
     pipe = InpaintingPipeline.create(cfg)
     S = cfg.unet.image_size
 
-    server = InpaintingServer(pipe, batch_size=args.batch_size,
-                              presets=presets)
+    server = InpaintingServer(
+        pipe, batch_size=args.batch_size, presets=presets,
+        max_queue=2 * args.batch_size if args.overload else None)
     print(f"warming batch shapes {server.batch_sizes}...", flush=True)
     server.warmup()  # compile the whole shape ladder before measuring
     httpd = ThreadingHTTPServer(("127.0.0.1", args.port),
@@ -114,6 +198,12 @@ def main():
 
     for name in tier_names:
         post(name)  # warm every tier's device batch program
+
+    if args.overload:
+        run_overload(args, url, payloads, tier_names, server)
+        httpd.shutdown()
+        server.close()
+        return
 
     latencies = {name: [] for name in tier_names}
     lock = threading.Lock()
