@@ -195,6 +195,24 @@ class InpaintingServer:
                        np.asarray(mask, np.float32), seed, preset, deadline)
         with self._cv:
             if len(self._pending) >= self.max_queue:
+                # already-expired entries are dead weight (they would be
+                # shed at dispatch anyway) — purge them NOW so corpses
+                # never cause 429s for live requests
+                now = time.monotonic()
+                expired = [r for r in self._pending
+                           if r.deadline is not None and now > r.deadline]
+                if expired:
+                    dead = set(map(id, expired))
+                    self._pending = collections.deque(
+                        r for r in self._pending if id(r) not in dead)
+                    with self._stats_lock:
+                        self.stats["shed"] += len(expired)
+                    for r in expired:
+                        if not r.future.done():
+                            r.future.set_exception(DeadlineExceededError(
+                                "request expired in queue; shed at "
+                                "admission of newer work"))
+            if len(self._pending) >= self.max_queue:
                 with self._stats_lock:
                     self.stats["rejected"] += 1
                 raise ServerOverloadedError(

@@ -599,3 +599,34 @@ def test_overload_stress_mixed_presets(pipeline):
               f"{len(shed)} shed(504) in {wall:.1f}s")
     finally:
         server.close()
+
+
+def test_full_queue_of_expired_entries_admits_live_work(pipeline):
+    """Expired entries must not hold max_queue slots: admission purges
+    them (504 for the corpses) instead of 429ing live requests."""
+    from fidm_tpu.serving import DeadlineExceededError, ServerOverloadedError
+
+    server = InpaintingServer(pipeline, batch_size=2, max_queue=3)
+    server._stop.set()  # dispatcher never drains
+    server._thread.join(timeout=5)
+    try:
+        im, m = _sample_input()
+        stale = [server.submit(im, m, seed=1, deadline_s=0.01)
+                 for _ in range(3)]
+        import time as _t
+        _t.sleep(0.05)  # all three expire in the queue
+        f_live = server.submit(im, m, seed=1)  # must be ADMITTED, not 429
+        for f in stale:
+            with pytest.raises(DeadlineExceededError):
+                f.result(timeout=1)
+        snap = server.stats_snapshot()
+        assert snap["shed"] == 3 and snap["rejected"] == 0
+        assert snap["queue_depth"] == 1
+        assert not f_live.done()
+        # and the bound still holds against LIVE entries
+        for _ in range(2):
+            server.submit(im, m, seed=1)
+        with pytest.raises(ServerOverloadedError):
+            server.submit(im, m, seed=1)
+    finally:
+        server.close()
