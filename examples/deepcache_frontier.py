@@ -14,11 +14,17 @@ it skips strictly MORE compute, so the interesting question is whether its
 quality holds.
 
 Run (TPU, ~5 min with a warm /tmp/fidm_toy600.pkl):
-    python examples/deepcache_frontier.py
+    python examples/deepcache_frontier.py [--brush_masks]
+
+--brush_masks swaps the random boxes for irregular brush strokes (the
+hard-mask protocol of the RePaint study, where deterministic DDIM is
+already weakest) — the stress test for whether the `ddim-100-deep`
+preset's quality delta survives off the easy-mask regime.
 """
 import sys, os
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
+import argparse
 import dataclasses
 import json
 
@@ -36,11 +42,27 @@ from toy_convergence import CFG, T, synth_batch, train_toy
 
 
 def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--brush_masks", action="store_true",
+                   help="irregular brush-stroke masks (~36%% coverage) "
+                        "instead of the easy random boxes")
+    args = p.parse_args()
+
     sched = DiffusionSchedule.create("cosine", T)
     model = InpaintingUNet(CFG)
     params, _, _ = train_toy(600, cache_path="/tmp/fidm_toy600.pkl")
 
     test = synth_batch(jax.random.PRNGKey(999), 16)
+    if args.brush_masks:
+        from fidm_tpu.data.masks import random_brush_mask
+
+        S = CFG.image_size
+        rng = np.random.default_rng(123)
+        brush = np.stack([random_brush_mask(rng, S, coverage=(0.25, 0.45))
+                          for _ in range(16)])
+        test["mask"] = jnp.asarray(brush.reshape(16, S, S, 1), jnp.float32)
+        test["masked_image"] = test["image"] * (1 - test["mask"])
+        print(f"brush masks, coverage {float(test['mask'].mean()):.2f}")
     hole = test["mask"]
     gt01 = (test["image"] + 1) / 2
 
@@ -89,9 +111,11 @@ def main():
                 print(f"branch={branch} period={period} tail={tail}: "
                       f"{db:.2f} dB ({db - exact_db:+.2f})", flush=True)
 
-    with open("/tmp/deepcache_quality.json", "w") as f:
+    out_path = ("/tmp/deepcache_quality_brush.json" if args.brush_masks
+                else "/tmp/deepcache_quality.json")
+    with open(out_path, "w") as f:
         json.dump(rows, f, indent=1)
-    print("wrote /tmp/deepcache_quality.json")
+    print(f"wrote {out_path}")
 
 
 if __name__ == "__main__":
