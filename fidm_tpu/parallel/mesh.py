@@ -123,6 +123,29 @@ def shard_params(params, mesh: Mesh, use_fsdp: bool = False, min_size: int = 2**
     )
 
 
-def shard_batch(batch, mesh: Mesh):
-    """Put a host batch (pytree of arrays) onto the mesh, batch-dim sharded."""
-    return jax.device_put(batch, batch_sharding(mesh))
+def shard_batch(batch, mesh: Mesh, spatial: bool = False,
+                spatial_axis: str = "model"):
+    """Put a host batch (pytree of arrays) onto the mesh, batch-dim sharded.
+
+    With `spatial=True`, NHWC image-like leaves (ndim >= 4) additionally
+    shard their H dimension over `spatial_axis` (GSPMD spatial
+    partitioning — see `tp.spatial_sharding`); lower-rank leaves (labels,
+    timesteps) stay batch-sharded only. This is the input layout for
+    spatially-partitioned *training* (`make_train_step(spatial=True)`):
+    conv halo exchanges and their transposes in the backward pass are
+    inserted by XLA's SPMD partitioner, so the train step itself is
+    unchanged. Leaves whose H is not divisible by the axis size fall back
+    to batch-only sharding (correct, just not spatially parallel)."""
+    bs = batch_sharding(mesh)
+    if not spatial or mesh.shape.get(spatial_axis, 1) <= 1:
+        return jax.device_put(batch, bs)
+    b_spec = bs.spec[0] if len(bs.spec) else None
+    n = mesh.shape[spatial_axis]
+
+    def put(x):
+        if getattr(x, "ndim", 0) >= 4 and x.shape[1] % n == 0:
+            return jax.device_put(
+                x, NamedSharding(mesh, P(b_spec, spatial_axis)))
+        return jax.device_put(x, bs)
+
+    return jax.tree_util.tree_map(put, batch)

@@ -152,6 +152,7 @@ def make_train_step(
     null_label: Optional[int] = None,
     use_labels: bool = True,
     accum_steps: int = 1,
+    spatial: bool = False,
 ):
     """Build the jitted (optionally mesh-sharded) train step.
 
@@ -178,6 +179,19 @@ def make_train_step(
     `param_transform` maps the trained pytree to the full model params before
     apply — e.g. `lambda lora: merge_lora(base_params, lora)` for LoRA, where
     `state.params` holds only the low-rank factors and the base stays frozen.
+
+    `spatial=True` (needs `mesh` with a "model" axis) trains with the batch's
+    image dims H-sharded over that axis — GSPMD spatial partitioning, the
+    memory/latency layout for very large images where batch-parallel shards
+    run out of HBM per sample. Pre-shard batches with
+    `parallel.shard_batch(batch, mesh, spatial=True)`; the jitted step then
+    respects that placement (XLA inserts the conv halo exchanges and their
+    backward-pass transposes; GroupNorm/attention/loss reductions become
+    cross-device collectives automatically). Gradients are parity-tested
+    against the unsharded step (tests/test_tp.py). On real multi-chip TPU
+    trace under `ops.registry.pallas_override(False, "attention")` — the
+    Pallas kernel is an opaque custom call the SPMD partitioner can't split
+    (same caveat as TP, parallel/tp.py).
     """
     assert accum_steps >= 1
 
@@ -264,15 +278,25 @@ def make_train_step(
         return new_state, metrics
 
     if mesh is None:
+        if spatial:
+            raise ValueError("spatial=True requires a mesh")
         return jax.jit(step, donate_argnums=(0,) if donate else ())
+    if spatial and mesh.shape.get("model", 1) <= 1:
+        raise ValueError(
+            f"spatial=True needs a 'model' mesh axis > 1; mesh is "
+            f"{dict(mesh.shape)}")
 
     # State keeps whatever placement the caller gave it (replicated, or
     # fsdp-sharded via parallel.shard_params); only the batch is re-sharded.
     # A single sharding acts as a pytree prefix for the whole batch dict, so
-    # any batch keys (incl. rank-1 "label") shard along axis 0.
+    # any batch keys (incl. rank-1 "label") shard along axis 0. In spatial
+    # mode the batch keeps the caller's placement (image leaves H-sharded,
+    # low-rank leaves batch-sharded — shard_batch(spatial=True) builds it;
+    # a single prefix spec can't express the per-rank split).
     return jax.jit(
         step,
-        in_shardings=(None, batch_sharding(mesh), replicated(mesh)),
+        in_shardings=(None, None if spatial else batch_sharding(mesh),
+                      replicated(mesh)),
         donate_argnums=(0,) if donate else (),
     )
 

@@ -218,3 +218,86 @@ def test_pipeline_tp_validation_errors():
     with pytest.raises(ValueError, match="pick one"):
         InpaintingPipeline.create(cfg, mesh=mesh, tp_params=True,
                                   shard_spatial=True)
+
+
+def test_spatial_train_step_matches_unsharded():
+    """Spatially-partitioned training (H sharded over the model axis) is
+    exactly the unsharded step: XLA inserts the conv halo exchanges AND
+    their backward-pass transposes, so loss and the updated parameters must
+    match to reduction-order tolerance."""
+    from fidm_tpu.diffusion import DiffusionSchedule
+    from fidm_tpu.parallel import shard_batch
+    from fidm_tpu.training import TrainState, make_optimizer, make_train_step
+    from fidm_tpu.training.lr import make_lr_schedule
+
+    cfg = _small_cfg()
+    model, variables = _init(cfg)
+    sched = DiffusionSchedule.create("linear", 50)
+    B, S = 8, cfg.image_size
+    rng = np.random.default_rng(5)
+    gt, mask = _toy_inpaint_inputs(S=S, B=B, seed=5)
+    batch = {
+        "image": jnp.asarray(gt),
+        "masked_image": jnp.asarray(gt * (1 - mask)),
+        "mask": jnp.asarray(mask),
+        # rank-1 leaf must survive spatial sharding (batch-sharded only)
+        "label": jnp.asarray(rng.integers(0, 4, (B,)), jnp.int32),
+    }
+    key = jax.random.PRNGKey(9)
+
+    def run(mesh, spatial):
+        tx = make_optimizer(make_lr_schedule("cosine", 1e-4, 100, 10))
+        state = TrainState.create(
+            apply_fn=lambda v, *a: model.apply(v, *a),
+            params=variables["params"], tx=tx)
+        step = make_train_step(sched, mesh=mesh, donate=False,
+                               spatial=spatial, use_labels=False)
+        if mesh is None:
+            return step(state, batch, key)
+        with mesh:
+            return step(state, shard_batch(batch, mesh, spatial=spatial),
+                        key)
+
+    ref_state, ref_metrics = run(None, False)
+    mesh = create_mesh(data=2, model=4)  # H=16 -> 4 spatial shards of 4 rows
+    new_state, metrics = run(mesh, True)
+
+    np.testing.assert_allclose(float(metrics["loss"]),
+                               float(ref_metrics["loss"]),
+                               rtol=1e-5, atol=1e-6)
+    ref_flat = jax.tree_util.tree_leaves(ref_state.params)
+    new_flat = jax.tree_util.tree_leaves(new_state.params)
+    for a, b in zip(ref_flat, new_flat):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=2e-5, atol=2e-5)
+
+
+def test_spatial_train_step_validation():
+    from fidm_tpu.diffusion import DiffusionSchedule
+    from fidm_tpu.training import make_train_step
+
+    sched = DiffusionSchedule.create("linear", 50)
+    with pytest.raises(ValueError, match="mesh"):
+        make_train_step(sched, spatial=True)
+    with pytest.raises(ValueError, match="model"):
+        make_train_step(sched, mesh=create_mesh(data=4, fsdp=2),
+                        spatial=True)
+
+
+def test_shard_batch_spatial_layout():
+    """Image leaves H-shard over 'model'; low-rank leaves stay batch-only;
+    non-divisible H falls back to batch sharding."""
+    from fidm_tpu.parallel import shard_batch
+
+    mesh = create_mesh(data=2, model=4)
+    batch = {
+        "image": jnp.zeros((8, 16, 16, 3)),
+        "mask": jnp.zeros((8, 16, 16, 1)),
+        "label": jnp.zeros((8,), jnp.int32),
+        "odd": jnp.zeros((8, 6, 6, 3)),  # 6 % 4 != 0
+    }
+    out = shard_batch(batch, mesh, spatial=True)
+    assert tuple(out["image"].sharding.spec) == ("data", "model")
+    assert tuple(out["mask"].sharding.spec) == ("data", "model")
+    assert tuple(out["label"].sharding.spec) == ("data",)
+    assert tuple(out["odd"].sharding.spec) == ("data",)
