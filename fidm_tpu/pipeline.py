@@ -275,7 +275,12 @@ class InpaintingPipeline:
             if len(guided) >= 4:
                 del self._jitted[guided[0]]
         if cond_fn is None:
-            aot = self._aot.get((tuple(gt.shape), cfg))
+            from .sampling.sampler import _is_batched_key
+
+            # AOT executables are bound to exact input shapes — a program
+            # compiled for a single key cannot take per-sample keys
+            aot = self._aot.get((tuple(gt.shape), cfg,
+                                 _is_batched_key(key)))
             if aot is not None:
                 return aot(self.variables, gt, mask, key)
         if cache_key not in self._jitted:
@@ -366,21 +371,27 @@ class InpaintingPipeline:
             )
         return jax.jit(run)
 
-    def example_inputs(self, batch: int):
-        """abstract (gt, mask, key) specs for a batch-`batch` program."""
+    def example_inputs(self, batch: int, batched_key: bool = False):
+        """abstract (gt, mask, key) specs for a batch-`batch` program.
+
+        `batched_key` compiles for per-sample keys ([batch, 2] raw uint32
+        — the serving layer's per-request isolation layout) instead of one
+        whole-batch key."""
         S = self.config.unet.image_size
         return (
             jax.ShapeDtypeStruct((batch, S, S, 3), jnp.float32),
             jax.ShapeDtypeStruct((batch, S, S, 1), jnp.float32),
-            jax.eval_shape(lambda: jax.random.PRNGKey(0)),
+            jax.ShapeDtypeStruct((batch, 2), jnp.uint32) if batched_key
+            else jax.eval_shape(lambda: jax.random.PRNGKey(0)),
         )
 
     def compile_batch(self, batch: int,
-                      sampler: Optional[SamplerConfig] = None):
+                      sampler: Optional[SamplerConfig] = None,
+                      batched_key: bool = False):
         """AOT-compile the sampling program for one batch size (no
         execution) — feed to `serving.aot.save_programs` for persistence."""
         cfg = sampler or self.config.sampler
-        gt, mask, key = self.example_inputs(batch)
+        gt, mask, key = self.example_inputs(batch, batched_key)
         if self._xla_attention:
             from .ops.registry import pallas_override
 
@@ -390,14 +401,19 @@ class InpaintingPipeline:
         return self._make_jit(cfg).lower(self.variables, gt, mask,
                                          key).compile()
 
-    def install_program(self, batch: int, cfg: SamplerConfig, program):
+    def install_program(self, batch: int, cfg: SamplerConfig, program,
+                        batched_key: bool = False):
         """Register a (deserialized) compiled executable for exact-shape
-        dispatch; `inpaint` prefers it over the jit cache."""
+        dispatch; `inpaint` prefers it over the jit cache. `batched_key`
+        must match how the program was compiled (key input [batch, 2] vs a
+        single key)."""
         S = self.config.unet.image_size
-        self._aot[((batch, S, S, 3), cfg)] = program
+        self._aot[((batch, S, S, 3), cfg, batched_key)] = program
 
-    def uninstall_program(self, batch: int, cfg: SamplerConfig) -> bool:
+    def uninstall_program(self, batch: int, cfg: SamplerConfig,
+                          batched_key: bool = False) -> bool:
         """Drop an installed AOT executable (e.g. one that deserialized but
         cannot execute); subsequent calls fall back to the jit path."""
         S = self.config.unet.image_size
-        return self._aot.pop(((batch, S, S, 3), cfg), None) is not None
+        return self._aot.pop(((batch, S, S, 3), cfg, batched_key),
+                             None) is not None

@@ -548,10 +548,54 @@ def _guide_mean(cond_fn, x, s, B, mean, logvar):
     return mean + jnp.exp(logvar) * cond_fn(x, t_full)
 
 
+def _is_batched_key(key) -> bool:
+    """True for PER-SAMPLE key arrays: [B] typed keys or [B, 2] raw uint32.
+
+    With a batched key, every noise draw in the sampler is made
+    per-sample-independently (vmap over the key rows), so row i of a
+    batched run equals the batch-1 run with key i exactly — results no
+    longer depend on batch composition. This is the serving determinism
+    contract (serving/server.py builds one key per request); a plain
+    single key keeps the historical whole-batch draws bit-for-bit."""
+    if isinstance(key, (tuple, list)):
+        return False
+    if jnp.issubdtype(key.dtype, jax.dtypes.prng_key):
+        return key.ndim >= 1
+    return key.ndim >= 2
+
+
+def _key_split(key, n):
+    """jax.random.split handling batched per-sample keys (see _is_batched_key)."""
+    if _is_batched_key(key):
+        ks = jax.vmap(lambda k: jax.random.split(k, n))(key)
+        return tuple(ks[:, i] for i in range(n))
+    ks = jax.random.split(key, n)
+    return tuple(ks[i] for i in range(n))
+
+
+def _key_fold(key, data):
+    if _is_batched_key(key):
+        return jax.vmap(lambda k: jax.random.fold_in(k, data))(key)
+    return jax.random.fold_in(key, data)
+
+
+def _key_normal(key, shape, dtype=jnp.float32):
+    """Standard-normal draw of `shape`; batched keys draw row i from key i."""
+    if _is_batched_key(key):
+        return jax.vmap(lambda k: jax.random.normal(k, shape[1:], dtype))(key)
+    return jax.random.normal(key, shape, dtype)
+
+
+def _check_key_batch(key, B: int):
+    if _is_batched_key(key) and key.shape[0] != B:
+        raise ValueError(
+            f"per-sample key batch {key.shape[0]} != input batch {B} "
+            "(pass one key per sample, or a single unbatched key)")
+
+
 def _gt_noise(inject_key, timestep, shape, dtype):
     """Injection noise keyed by timestep — the cache contract (see module doc)."""
-    key = jax.random.fold_in(inject_key, timestep)
-    return jax.random.normal(key, shape, dtype)
+    return _key_normal(_key_fold(inject_key, timestep), shape, dtype)
 
 
 def _maybe_pre_inject(x, xs, gt, keep, inject_key, enabled):
@@ -614,9 +658,8 @@ def _shared_update(sched, cfg, x, step_key, B, cond_fn, extract_raw):
             mean, logvar = _ddpm_mean_logvar(out, x, s, cfg)
             if cond_fn is not None:
                 mean = _guide_mean(cond_fn, x, s, B, mean, logvar)
-            noise = jax.random.normal(
-                jax.random.fold_in(step_key, s["step"]), x.shape, x.dtype
-            )
+            noise = _key_normal(_key_fold(step_key, s["step"]),
+                                x.shape, x.dtype)
             return mean + s["noise_gate"] * jnp.exp(0.5 * logvar) * noise, aux
 
         return xs, None, update
@@ -632,9 +675,8 @@ def _shared_update(sched, cfg, x, step_key, B, cond_fn, extract_raw):
             d_hat = (1.0 + s["corr"]) * pred_x0 - s["corr"] * prev_x0
             x_new = s["coef_x"] * x + s["coef_D"] * d_hat
             if sde:
-                noise = jax.random.normal(
-                    jax.random.fold_in(step_key, s["step"]), x.shape, x.dtype
-                )
+                noise = _key_normal(_key_fold(step_key, s["step"]),
+                                    x.shape, x.dtype)
                 x_new = x_new + s["sde_noise"] * noise
             return x_new, pred_x0
 
@@ -681,9 +723,8 @@ def _shared_update(sched, cfg, x, step_key, B, cond_fn, extract_raw):
             pred_x0, _ = _x0_eps_from_raw(extract_raw(out), x, s, cfg)
             if cfg.clip_denoised:
                 pred_x0 = jnp.clip(pred_x0, -1.0, 1.0)
-            noise = jax.random.normal(
-                jax.random.fold_in(step_key, s["step"]), x.shape, x.dtype
-            )
+            noise = _key_normal(_key_fold(step_key, s["step"]),
+                                x.shape, x.dtype)
             return (s["sqrt_a_prev"] * pred_x0
                     + s["inject_sqrt_1ma"] * noise), aux
 
@@ -712,6 +753,11 @@ def inpaint_sample(
       mask: [B,H,W,1], 1 = inpaint (hole), 0 = keep — the data-pipeline
         convention (`data/dataset.py:136-142`).
       key: PRNG key for init noise, per-step noise, and injection noise.
+        Either ONE key (whole-batch draws, the historical bit-exact
+        behavior) or PER-SAMPLE keys ([B, 2] raw / [B] typed): then every
+        draw is made independently per sample, so row i equals the
+        batch-1 run with key i regardless of what else is in the batch —
+        the serving determinism contract (tests/test_batched_keys.py).
       x_init: optional starting noise (defaults to N(0,1)).
       cache_apply: required when cfg.encoder_cache_period > 1 — a pair
         (full_fn, cached_fn) where full_fn(x, t, mi, m) -> (out, cache)
@@ -744,8 +790,10 @@ def inpaint_sample(
     keep = (1.0 - mask).astype(gt.dtype)
     masked_image = gt * keep  # model conditioning (test_inpainting_better.py:387-390)
 
-    init_key, step_key, inject_key = jax.random.split(key, 3)
-    x = x_init if x_init is not None else jax.random.normal(init_key, gt.shape, gt.dtype)
+    _check_key_batch(key, B)
+    init_key, step_key, inject_key = _key_split(key, 3)
+    x = x_init if x_init is not None else _key_normal(init_key, gt.shape,
+                                                      gt.dtype)
     # the coefficient tables are strong f32: a lower-precision carry (bf16
     # gt/x_init) would change dtype across the scan body and fail to trace.
     # Sampler math runs in f32 regardless; the model casts internally.
@@ -775,15 +823,13 @@ def inpaint_sample(
                 mean, logvar = _ddpm_mean_logvar(out, xx, s, cfg)
                 if cond_fn is not None:
                     mean = _guide_mean(cond_fn, xx, s, B, mean, logvar)
-                noise = jax.random.normal(
-                    jax.random.fold_in(step_key, s["step"]), xx.shape, xx.dtype
-                )
+                noise = _key_normal(_key_fold(step_key, s["step"]),
+                                    xx.shape, xx.dtype)
                 return mean + s["noise_gate"] * jnp.exp(0.5 * logvar) * noise
 
             def renoise(xx):
-                noise = jax.random.normal(
-                    jax.random.fold_in(step_key, s["step"]), xx.shape, xx.dtype
-                )
+                noise = _key_normal(_key_fold(step_key, s["step"]),
+                                    xx.shape, xx.dtype)
                 return s["renoise_keep"] * xx + s["renoise_std"] * noise
 
             x = jax.lax.cond(s["is_denoise"] > 0, denoise, renoise, x)
@@ -808,9 +854,8 @@ def inpaint_sample(
                     eps = (x - s["sqrt_a_t"] * pred_x0) / s["sqrt_one_minus_a_t"]
             if cond_fn is not None:
                 pred_x0, eps = _guide_eps(cond_fn, x, s, B, pred_x0)
-            noise = jax.random.normal(
-                jax.random.fold_in(step_key, s["step"]), x.shape, x.dtype
-            )
+            noise = _key_normal(_key_fold(step_key, s["step"]),
+                                x.shape, x.dtype)
             return (
                 s["sqrt_a_prev"] * pred_x0
                 + s["dir_coef"] * eps
@@ -911,8 +956,9 @@ def sample(
             "classifier guidance (cond_fn) is defined for ddim/ddpm/repaint; "
             "the DPM-Solver++/consistency updates have no reference-guided "
             "form")
-    init_key, step_key = jax.random.split(key)
-    x = x_init if x_init is not None else jax.random.normal(init_key, shape)
+    _check_key_batch(key, shape[0])
+    init_key, step_key = _key_split(key, 2)
+    x = x_init if x_init is not None else _key_normal(init_key, shape)
     x = x.astype(jnp.float32)  # f32 carry vs strong-f32 tables (see above)
     B = shape[0]
 
@@ -932,15 +978,13 @@ def sample(
                 mean, logvar = _ddpm_mean_logvar(out, xx, s, cfg)
                 if cond_fn is not None:
                     mean = _guide_mean(cond_fn, xx, s, B, mean, logvar)
-                noise = jax.random.normal(
-                    jax.random.fold_in(step_key, s["step"]), xx.shape, xx.dtype
-                )
+                noise = _key_normal(_key_fold(step_key, s["step"]),
+                                    xx.shape, xx.dtype)
                 return mean + s["noise_gate"] * jnp.exp(0.5 * logvar) * noise
 
             def renoise(xx):
-                noise = jax.random.normal(
-                    jax.random.fold_in(step_key, s["step"]), xx.shape, xx.dtype
-                )
+                noise = _key_normal(_key_fold(step_key, s["step"]),
+                                    xx.shape, xx.dtype)
                 return s["renoise_keep"] * xx + s["renoise_std"] * noise
 
             x = jax.lax.cond(s["is_denoise"] > 0, denoise, renoise, x)
@@ -963,9 +1007,8 @@ def sample(
             eps = (x - s["sqrt_a_t"] * pred_x0) / s["sqrt_one_minus_a_t"]
             if cond_fn is not None:
                 pred_x0, eps = _guide_eps(cond_fn, x, s, B, pred_x0)
-            noise = jax.random.normal(
-                jax.random.fold_in(step_key, s["step"]), x.shape, x.dtype
-            )
+            noise = _key_normal(_key_fold(step_key, s["step"]),
+                                x.shape, x.dtype)
             return (
                 s["sqrt_a_prev"] * pred_x0
                 + s["dir_coef"] * eps

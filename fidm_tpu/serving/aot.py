@@ -41,7 +41,7 @@ __all__ = ["program_path", "save_programs", "load_programs"]
 _FORMAT_VERSION = 1
 
 
-def _fingerprint(pipeline, batch: int, cfg) -> str:
+def _fingerprint(pipeline, batch: int, cfg, batched_key: bool = False) -> str:
     """Identity of one compiled program: anything that would change the
     executable (or make it unsafe to run) must land in here."""
     leaves = jax.tree_util.tree_flatten_with_path(pipeline.variables)[0]
@@ -60,6 +60,10 @@ def _fingerprint(pipeline, batch: int, cfg) -> str:
         "rescale_timesteps": pipeline.config.rescale_timesteps,
         "sampler": repr(cfg),
         "batch": batch,
+        # per-sample key programs ([batch, 2] key input — the serving
+        # per-request isolation layout) are distinct executables from
+        # single-key ones
+        "key_layout": "batched" if batched_key else "single",
         "variables": var_sig,
     }
     blob = json.dumps(payload, sort_keys=True).encode()
@@ -67,15 +71,15 @@ def _fingerprint(pipeline, batch: int, cfg) -> str:
 
 
 def program_path(cache_dir: str, pipeline, batch: int,
-                 sampler=None) -> str:
+                 sampler=None, batched_key: bool = False) -> str:
     cfg = sampler or pipeline.config.sampler
-    return os.path.join(
-        cache_dir, f"prog_b{batch}_{_fingerprint(pipeline, batch, cfg)}.aot"
-    )
+    fp = _fingerprint(pipeline, batch, cfg, batched_key)
+    return os.path.join(cache_dir, f"prog_b{batch}_{fp}.aot")
 
 
 def save_programs(pipeline, cache_dir: str, batch_sizes,
-                  sampler=None, overwrite: bool = False) -> int:
+                  sampler=None, overwrite: bool = False,
+                  batched_key: bool = False) -> int:
     """Compile (if needed) and persist the sampling program for each batch
     size. Returns the number of programs written. Single-host pipelines
     only (mesh-sharded executables are not portable artifacts)."""
@@ -88,7 +92,7 @@ def save_programs(pipeline, cache_dir: str, batch_sizes,
     cfg = sampler or pipeline.config.sampler
     written = 0
     for batch in batch_sizes:
-        path = program_path(cache_dir, pipeline, batch, cfg)
+        path = program_path(cache_dir, pipeline, batch, cfg, batched_key)
         if os.path.exists(path) and not overwrite:
             continue
         # On XLA:CPU, bypass jax's persistent compilation cache for THIS
@@ -102,12 +106,13 @@ def save_programs(pipeline, cache_dir: str, batch_sizes,
             cc_dir = jax.config.jax_compilation_cache_dir
             jax.config.update("jax_compilation_cache_dir", None)
             try:
-                compiled = pipeline.compile_batch(batch, cfg)
+                compiled = pipeline.compile_batch(batch, cfg, batched_key)
             finally:
                 jax.config.update("jax_compilation_cache_dir", cc_dir)
         else:
-            compiled = pipeline.compile_batch(batch, cfg)
-        pipeline.install_program(batch, cfg, compiled)  # reuse, don't re-jit
+            compiled = pipeline.compile_batch(batch, cfg, batched_key)
+        # reuse, don't re-jit
+        pipeline.install_program(batch, cfg, compiled, batched_key)
         blob, in_tree, out_tree = se.serialize(compiled)
         tmp = path + ".tmp"
         with open(tmp, "wb") as f:
@@ -123,7 +128,7 @@ def save_programs(pipeline, cache_dir: str, batch_sizes,
 
 
 def load_programs(pipeline, cache_dir: str, batch_sizes,
-                  sampler=None) -> int:
+                  sampler=None, batched_key: bool = False) -> int:
     """Install every matching cached program into the pipeline (exact-shape
     dispatch ahead of the jit cache). Missing or fingerprint-mismatched
     entries are skipped — the caller's normal warmup covers them. Returns
@@ -136,7 +141,7 @@ def load_programs(pipeline, cache_dir: str, batch_sizes,
     cfg = sampler or pipeline.config.sampler
     loaded = 0
     for batch in batch_sizes:
-        path = program_path(cache_dir, pipeline, batch, cfg)
+        path = program_path(cache_dir, pipeline, batch, cfg, batched_key)
         if not os.path.exists(path):
             continue
         try:
@@ -175,6 +180,6 @@ def load_programs(pipeline, cache_dir: str, batch_sizes,
             print(f"AOT program cache: skipping {path} "
                   f"(device load failed: {e})")
             continue
-        pipeline.install_program(batch, cfg, program)
+        pipeline.install_program(batch, cfg, program, batched_key)
         loaded += 1
     return loaded

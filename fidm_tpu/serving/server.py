@@ -24,10 +24,11 @@ program per preset), pads the tail with repeats, runs the pipeline, and
 resolves the futures. Shallow queues therefore ride a small-batch
 program at small-batch latency instead of paying for a padded batch-8 run;
 deep queues still saturate the chip at the full batch size. Seeds default to
-a deterministic per-request counter, and every request's seed (default or
-explicit) folds into its batch's PRNG key — identical request streams
-reproduce identical results; full per-request seed isolation requires
-batch_size=1.
+a deterministic per-request counter, and every request runs under ITS OWN
+PRNG key (the sampler draws noise per-sample from a [batch, 2] key array —
+sampling/sampler.py batched keys), so a request's result depends only on its
+(image, mask, seed, preset) — never on what else happened to share its
+device batch. Same seed, same request => same pixels at any load.
 
 Batching wait is LOAD-ADAPTIVE: the `max_wait_ms` accumulation window is
 only armed while the previous dispatch filled the ladder's top batch
@@ -49,11 +50,20 @@ from concurrent.futures import Future
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import Dict, Optional
 
-import jax
 import numpy as np
 
 __all__ = ["InpaintingServer", "serve", "ServerOverloadedError",
            "DeadlineExceededError"]
+
+
+def _request_keys(seeds) -> np.ndarray:
+    """One raw threefry key per request: uint32 [n, 2].
+
+    Bit-identical to np.asarray(jax.random.PRNGKey(seed)) for every seed
+    (the documented 64-bit-seed -> two-uint32 threefry layout; asserted in
+    tests/test_batched_keys.py), built host-side so admission never pays a
+    device round-trip per request."""
+    return np.array([[s >> 32, s & 0xFFFFFFFF] for s in seeds], np.uint32)
 
 
 class ServerOverloadedError(RuntimeError):
@@ -184,8 +194,8 @@ class InpaintingServer:
             seed = self.base_seed + next(self._seed_counter)
         seed = int(seed)
         if not 0 <= seed < 2**32:
-            # fold_in/PRNGKey overflow outside uint32 — reject up front as a
-            # client error instead of blowing up the dispatcher thread
+            # the documented client contract (PRNGKey seed range); reject up
+            # front as a client error instead of surprising the dispatcher
             raise ValueError(f"seed must be in [0, 2**32), got {seed}")
         if deadline_s is None:
             deadline_s = self.default_deadline_s
@@ -260,15 +270,20 @@ class InpaintingServer:
             from . import aot
 
             for cfg in self.presets.values():
+                # batched_key: serving programs take per-request key rows
+                # ([batch, 2]) — a different executable from the single-key
+                # layout (the fingerprint separates them)
                 n = aot.load_programs(self.pipeline, self.program_cache_dir,
-                                      self.batch_sizes, sampler=cfg)
+                                      self.batch_sizes, sampler=cfg,
+                                      batched_key=True)
                 if n:
                     print(f"AOT program cache: loaded {n}/"
                           f"{len(self.batch_sizes)} programs")
                 # compile + persist + install whatever wasn't cached, so the
                 # execution loop below never jit-compiles a second copy
                 aot.save_programs(self.pipeline, self.program_cache_dir,
-                                  self.batch_sizes, sampler=cfg)
+                                  self.batch_sizes, sampler=cfg,
+                                  batched_key=True)
         S = self.pipeline.config.unet.image_size
         img = np.zeros((S, S, 3), np.float32)
         msk = np.ones((S, S, 1), np.float32)
@@ -276,10 +291,9 @@ class InpaintingServer:
             for s in self.batch_sizes:
                 gt = np.repeat(img[None], s, 0)
                 mask = np.repeat(msk[None], s, 0)
+                keys = _request_keys([0] * s)  # the serving key layout
                 try:
-                    out = self.pipeline.inpaint(gt, mask,
-                                                jax.random.PRNGKey(0),
-                                                sampler=cfg)
+                    out = self.pipeline.inpaint(gt, mask, keys, sampler=cfg)
                     # tiny scalar readback forces execution; never pull the
                     # full batch through the (slow) device->host path just
                     # to discard
@@ -292,24 +306,25 @@ class InpaintingServer:
                     # time). Heal: drop the program + its file, recompile
                     # via the jit path, re-persist a good artifact.
                     if (self.program_cache_dir is None
-                            or not self.pipeline.uninstall_program(s, cfg)):
+                            or not self.pipeline.uninstall_program(
+                                s, cfg, batched_key=True)):
                         raise
                     from . import aot
 
                     path = aot.program_path(self.program_cache_dir,
-                                            self.pipeline, s, cfg)
+                                            self.pipeline, s, cfg,
+                                            batched_key=True)
                     try:
                         os.remove(path)
                     except OSError:
                         pass
                     print(f"AOT program cache: batch-{s} program failed to "
                           f"execute ({e}); recompiling")
-                    out = self.pipeline.inpaint(gt, mask,
-                                                jax.random.PRNGKey(0),
-                                                sampler=cfg)
+                    out = self.pipeline.inpaint(gt, mask, keys, sampler=cfg)
                     float(np.asarray(out[0, 0, 0, 0]))
                     aot.save_programs(self.pipeline, self.program_cache_dir,
-                                      (s,), sampler=cfg, overwrite=True)
+                                      (s,), sampler=cfg, overwrite=True,
+                                      batched_key=True)
         return self
 
     def _drain_matching(self, batch, preset):
@@ -378,13 +393,14 @@ class InpaintingServer:
         pad = size - n
         gt = np.stack([r.image for r in batch] + [batch[-1].image] * pad)
         mask = np.stack([r.mask for r in batch] + [batch[-1].mask] * pad)
-        # every request's seed folds into the batch key, so results are
-        # deterministic given the request stream (not just the first
-        # requester's seed); full per-request seed isolation requires its
-        # own batch (batch_size=1)
-        key = jax.random.PRNGKey(batch[0].seed)
-        for r in batch[1:]:
-            key = jax.random.fold_in(key, r.seed)
+        # one key PER REQUEST: the sampler draws noise per-sample from the
+        # [size, 2] key array, so row i depends only on request i's seed —
+        # results are independent of batch composition (same seed+inputs =>
+        # same pixels whether the request ran alone or padded into a full
+        # batch). Pad rows reuse the last request's key (their output is
+        # sliced off).
+        key = _request_keys([r.seed for r in batch]
+                            + [batch[-1].seed] * pad)
         cfg = self.presets[batch[0].preset]
         try:
             # slice the pad rows off ON DEVICE: the device->host path (the

@@ -257,11 +257,13 @@ def test_server_restart_rides_program_cache(tmp_path):
 
 
 def test_explicit_request_seed_changes_batch_result(pipeline):
-    """Regression: every request's seed folds into the batch key — a
-    non-first request's explicit seed must affect the output."""
+    """Per-request key isolation: a request's seed determines ITS OWN
+    output only — changing a batch-mate's seed must change that mate's
+    result and must NOT change yours (the sampler draws noise per-sample
+    from one key per request; sampling/sampler.py batched keys)."""
     def run(seed_b):
         # deterministic two-request batch: without the unconditional window
-        # the batch composition (and thus the folded key) would be a race
+        # the batch composition would be a race
         server = InpaintingServer(pipeline, batch_size=2, max_wait_ms=500,
                                   adaptive_wait=False)
         try:
@@ -273,12 +275,35 @@ def test_explicit_request_seed_changes_batch_result(pipeline):
 
     a1, a2 = run(seed_b=2)
     b1, b2 = run(seed_b=999)
-    # different second-request seed changes results (stream determinism)
+    # the second request's seed changes the second result...
     assert not np.array_equal(a2, b2)
+    # ...and ONLY the second: batch-mates are isolated
+    np.testing.assert_array_equal(a1, b1)
     # identical stream reproduces exactly
     c1, c2 = run(seed_b=2)
     np.testing.assert_array_equal(a1, c1)
     np.testing.assert_array_equal(a2, c2)
+
+
+def test_request_result_independent_of_batch_size(pipeline):
+    """Same (inputs, seed) alone on a batch-1 server == batched on a
+    batch-2 server: results never depend on how requests were batched."""
+    im, m = _sample_input(0)
+    solo = InpaintingServer(pipeline, batch_size=1)
+    try:
+        alone = solo.submit(im, m, seed=41).result(timeout=300)
+    finally:
+        solo.close()
+    batched = InpaintingServer(pipeline, batch_size=2, max_wait_ms=500,
+                               adaptive_wait=False)
+    try:
+        f1 = batched.submit(im, m, seed=41)
+        f2 = batched.submit(*_sample_input(1), seed=77)
+        together = f1.result(timeout=300)
+        f2.result(timeout=300)
+    finally:
+        batched.close()
+    np.testing.assert_allclose(together, alone, rtol=1e-5, atol=1e-6)
 
 
 def test_submit_rejects_out_of_range_seed(pipeline):
