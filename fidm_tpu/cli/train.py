@@ -70,6 +70,13 @@ def parse_args(argv=None):
                         "predict_xstart flag; velocity = v-prediction)")
     p.add_argument("--early_stopping_patience", type=int, default=0)
     p.add_argument("--keep_last_n", type=int, default=3)
+    p.add_argument("--async_checkpoint", action="store_true",
+                   help="commit rotating checkpoints on Orbax's background "
+                        "thread: training continues while the save writes "
+                        "(the multi-second save of a big state leaves the "
+                        "step-time budget). Crash-safe overwrite and the "
+                        "preemption flush are preserved "
+                        "(training/checkpoint.py)")
     p.add_argument("--resume", default=None, help="latest | best | <step>")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--lora_rank", type=int, default=0,
@@ -233,7 +240,9 @@ def main(argv=None):
         param_transform=param_transform,
     )
 
-    ckpt = CheckpointManager(args.checkpoint_dir, keep_last_n=args.keep_last_n)
+    ckpt = CheckpointManager(args.checkpoint_dir,
+                             keep_last_n=args.keep_last_n,
+                             async_save=args.async_checkpoint)
     start_epoch = 0
     if args.resume:
         abstract = jax.tree_util.tree_map(

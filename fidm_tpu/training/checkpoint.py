@@ -24,17 +24,33 @@ __all__ = ["CheckpointManager"]
 
 
 class CheckpointManager:
-    """latest/best/rotating-N checkpointing over Orbax."""
+    """latest/best/rotating-N checkpointing over Orbax.
 
-    def __init__(self, directory: str, keep_last_n: int = 3):
+    `async_save=True` commits rotating-step checkpoints on Orbax's
+    background thread: `save()` returns as soon as the state is snapshotted
+    to host memory and training continues while the serialization + write
+    happen concurrently — on a big model the multi-second save disappears
+    from the step-time budget. Call `wait()` (or `close()`, which implies
+    it) before exiting; the preemption path in `training.loop.fit` does.
+    The crash-safe overwrite protocol is preserved: the renamed-aside
+    backup of a redone step survives until the async commit is CONFIRMED
+    (next save / wait / close), so a crash mid-async-write still recovers
+    the old checkpoint. Best-checkpoint saves stay synchronous (rare, and
+    the marker file must agree with the directory)."""
+
+    def __init__(self, directory: str, keep_last_n: int = 3,
+                 async_save: bool = False):
         self.directory = os.path.abspath(directory)
         self._steps_root = os.path.join(self.directory, "steps")
         os.makedirs(self.directory, exist_ok=True)
         self._recover_interrupted_overwrite()
+        self.async_save = async_save
+        self._pending_cleanup = False
         self._mgr = ocp.CheckpointManager(
             self._steps_root,
             options=ocp.CheckpointManagerOptions(
-                max_to_keep=keep_last_n, create=True, enable_async_checkpointing=False
+                max_to_keep=keep_last_n, create=True,
+                enable_async_checkpointing=async_save,
             ),
         )
         self._best = ocp.StandardCheckpointer()
@@ -95,6 +111,10 @@ class CheckpointManager:
         meta = dict(metadata or {})
         if val_loss is not None:
             meta["val_loss"] = float(val_loss)
+        # a still-in-flight async save must commit before we rename step
+        # dirs around (overwrite) or drop its overwrite backup
+        if self._pending_cleanup or step in self._mgr.all_steps():
+            self.wait()
         if step in self._mgr.all_steps():
             self._begin_overwrite(step)
         self._mgr.save(
@@ -104,8 +124,14 @@ class CheckpointManager:
                 meta=ocp.args.JsonSave(meta),
             ),
         )
-        self._mgr.wait_until_finished()
-        shutil.rmtree(self._backup_root(), ignore_errors=True)
+        if self.async_save:
+            # the tmp+rename commit happens on the background thread; keep
+            # any overwrite backup until it's confirmed (next save / wait /
+            # close) so a crash mid-write still recovers the old checkpoint
+            self._pending_cleanup = True
+        else:
+            self._mgr.wait_until_finished()
+            shutil.rmtree(self._backup_root(), ignore_errors=True)
 
         is_best = val_loss is not None and val_loss < self.best_val_loss
         if is_best:
@@ -130,6 +156,8 @@ class CheckpointManager:
     def restore(self, which: str, abstract_state):
         """Restore 'latest' | 'best' | a step number into abstract_state's
         structure/shardings. Returns (state, metadata|None)."""
+        if self._pending_cleanup:  # never read behind an in-flight save
+            self.wait()
         if which == "best":
             best_dir = os.path.join(self.directory, "best")
             state = self._best.restore(best_dir, abstract_state)
@@ -160,6 +188,8 @@ class CheckpointManager:
         parameters when the checkpoint carries them (training ran with
         `ema_decay`) — the standard eval weights for diffusion models —
         falling back to the raw params otherwise."""
+        if self._pending_cleanup:
+            self.wait()
         if which == "best":
             state = self._best.restore(os.path.join(self.directory, "best"))
         else:
@@ -185,6 +215,9 @@ class CheckpointManager:
         schedule, distillation mode — without restoring any arrays."""
         import orbax.checkpoint as ocp
 
+        if self._pending_cleanup:
+            self.wait()
+
         if which == "best":
             try:
                 with open(self._marker_path()) as f:
@@ -202,5 +235,14 @@ class CheckpointManager:
         except Exception:  # older checkpoints may carry no meta item
             return None
 
+    def wait(self):
+        """Block until every in-flight (async) save has committed, then
+        finish the deferred overwrite-backup cleanup. No-op when idle."""
+        self._mgr.wait_until_finished()
+        if self._pending_cleanup:
+            shutil.rmtree(self._backup_root(), ignore_errors=True)
+            self._pending_cleanup = False
+
     def close(self):
+        self.wait()
         self._mgr.close()

@@ -199,4 +199,9 @@ def fit(
                     cfg.log_fn(f"early stopping at epoch {epoch}")
                     state = state.replace(params=best_params)
                     break
+    if checkpoint_manager is not None and hasattr(checkpoint_manager, "wait"):
+        # flush in-flight async saves before returning — the preemption
+        # path above must never exit the process with an uncommitted
+        # checkpoint (CheckpointManager(async_save=True))
+        checkpoint_manager.wait()
     return state, history

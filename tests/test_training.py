@@ -105,6 +105,42 @@ def test_checkpoint_roundtrip_and_rotation(tmp_path):
     mgr.close()
 
 
+def test_checkpoint_async_save_roundtrip(tmp_path):
+    """async_save=True: save() returns before the commit; wait() flushes.
+    Restored state matches, overwrite of a redone step keeps the crash-safe
+    backup protocol (backup survives until the async commit is confirmed)."""
+    _, state = _make_state()
+    mgr = CheckpointManager(str(tmp_path / "ckpt"), keep_last_n=3,
+                            async_save=True)
+    step = make_train_step(SCHED, donate=False)
+    batch = _batch(jax.random.PRNGKey(1))
+    state, _ = step(state, batch, jax.random.PRNGKey(0))
+    mgr.save(0, state, metadata={"epoch": 0}, val_loss=0.5)
+    state2, _ = step(state, batch, jax.random.PRNGKey(0))
+    mgr.save(1, state2, metadata={"epoch": 1}, val_loss=0.4)
+    # redo step 1 (resumed-epoch overwrite) while a save may be in flight
+    mgr.save(1, state2, metadata={"epoch": 1, "redone": True}, val_loss=0.4)
+    mgr.wait()
+    abstract = jax.tree_util.tree_map(
+        lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), state2
+    )
+    restored, meta = mgr.restore("latest", abstract)
+    assert meta["redone"] is True
+    for a, b in zip(jax.tree_util.tree_leaves(restored.params),
+                    jax.tree_util.tree_leaves(state2.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # no leftover overwrite backup after the flush
+    assert not os.path.isdir(os.path.join(str(tmp_path / "ckpt"),
+                                          "overwrite_backup"))
+    mgr.close()
+
+    # a fresh manager sees exactly the committed steps
+    mgr2 = CheckpointManager(str(tmp_path / "ckpt"))
+    assert mgr2.latest_step() == 1
+    assert mgr2.restore_metadata("latest")["epoch"] == 1
+    mgr2.close()
+
+
 def test_early_stopping_restores_best():
     es = EarlyStopping(patience=2, restore_best_weights=True)
     p1, p2 = {"w": jnp.ones(2)}, {"w": jnp.zeros(2)}
