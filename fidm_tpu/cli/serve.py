@@ -33,6 +33,10 @@ def parse_args(argv=None):
                    help="queue-depth bound: past it new requests get HTTP "
                         "429 instead of joining an unbounded backlog "
                         "(default max(64, 8*batch_size))")
+    p.add_argument("--drain_s", type=float, default=30.0,
+                   help="graceful-shutdown budget: on exit, wait up to this "
+                        "long for accepted requests to finish before "
+                        "failing the remainder (0 = fail-fast)")
     p.add_argument("--default_deadline_s", type=float, default=None,
                    help="server-side default per-request deadline: requests "
                         "that would START past it are shed with HTTP 504 "
@@ -116,7 +120,8 @@ def main(argv=None):
     try:
         httpd.serve_forever()
     finally:
-        dispatcher.close()
+        # graceful: let accepted requests finish before failing the rest
+        dispatcher.close(drain_s=args.drain_s)
 
 
 if __name__ == "__main__":

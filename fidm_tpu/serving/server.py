@@ -156,6 +156,10 @@ class InpaintingServer:
                       "batches_by_size": {s: 0 for s in self.batch_sizes},
                       "requests_by_preset": {p: 0 for p in self.presets}}
         self._stop = threading.Event()
+        # True while the dispatcher holds an accepted-but-unresolved batch
+        # (set under _cv when the batch forms; cleared when its futures are
+        # resolved) — drain() polls it to know "queue empty" means "done"
+        self._busy = False
         # adaptive_wait=True arms the max_wait_ms window only under
         # saturation (see module docstring); False always waits it out —
         # the pre-round-3 behavior, useful when clients are known to arrive
@@ -347,6 +351,7 @@ class InpaintingServer:
                     continue
                 first = self._pending.popleft()
                 batch = [first]
+                self._busy = True
                 # whatever already queued up (e.g. while the device ran the
                 # previous batch) joins for free — same preset only: one
                 # device batch is one compiled program
@@ -370,6 +375,7 @@ class InpaintingServer:
             self._saturated = len(batch) >= self.batch_size
             batch = self._shed_expired(batch)
             if not batch:
+                self._busy = False
                 continue
             # the dispatcher is the single point of failure for every
             # in-flight request: it must survive ANY per-batch error (a
@@ -380,6 +386,8 @@ class InpaintingServer:
                 for r in batch:
                     if not r.future.done():
                         r.future.set_exception(e)
+            finally:
+                self._busy = False
 
     def _compiled_size(self, n: int) -> int:
         for s in self.batch_sizes:
@@ -421,10 +429,30 @@ class InpaintingServer:
             self.stats["batches_by_size"][size] += 1
             self.stats["requests_by_preset"][batch[0].preset] += n
 
-    def close(self):
+    def drain(self, timeout_s: float = 30.0) -> bool:
+        """Wait until every accepted request has resolved (queue empty AND
+        no batch in flight), up to timeout_s. Returns True when drained.
+
+        The graceful-shutdown half of close(): stop admitting new work at
+        the load balancer, drain(), then close() — queued clients get
+        their results instead of shutdown errors. Requests submitted
+        DURING the drain still run (gate your own callers)."""
+        deadline = time.monotonic() + timeout_s
+        while time.monotonic() < deadline:
+            with self._cv:
+                idle = not self._pending and not self._busy
+            if idle:
+                return True
+            time.sleep(0.005)
+        return False
+
+    def close(self, drain_s: float = 0.0):
         """Stop the dispatcher and FAIL any still-pending requests — a
         hung client waiting out its full timeout against a dead dispatcher
-        is worse than an immediate error."""
+        is worse than an immediate error. `drain_s` > 0 first waits up to
+        that long for accepted work to finish (graceful shutdown)."""
+        if drain_s > 0:
+            self.drain(drain_s)
         self._stop.set()
         with self._cv:
             self._cv.notify_all()
