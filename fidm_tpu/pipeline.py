@@ -243,7 +243,7 @@ class InpaintingPipeline:
         return self
 
     def inpaint(self, gt, mask, key, sampler: Optional[SamplerConfig] = None,
-                cond_fn=None):
+                cond_fn=None, strength: Optional[float] = None):
         """Inpaint a batch: gt [B,H,W,3] in [-1,1], mask [B,H,W,1] (1=hole).
 
         `cond_fn(x, t) -> grad log p(y|x_t)` enables classifier guidance
@@ -251,8 +251,16 @@ class InpaintingPipeline:
         scan). The jitted program is cached per (shape, config, cond_fn
         identity) — reuse one cond_fn object across calls to avoid
         recompiles.
+
+        `strength` < 1 switches to REFINEMENT (SDEdit): only the last
+        round(strength * K) steps run, starting from `gt` q_sampled to
+        that noise level — gt's hole region must then carry the content
+        to harmonize (a cheap fill, a previous sample, a user edit), not
+        zeros. See SamplerConfig.strength.
         """
         cfg = sampler or self.config.sampler
+        if strength is not None:
+            cfg = dataclasses.replace(cfg, strength=strength)
         self._validate_cache_cfg(cfg)
         if mask.shape[-1] != 1 or mask.shape[:-1] != gt.shape[:-1]:
             raise ValueError(

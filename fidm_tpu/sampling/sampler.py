@@ -98,6 +98,16 @@ class SamplerConfig:
     # frames live in a fixed device buffer updated in place, so memory is
     # N frames, not K. trajectory_every=1 records every step.
     trajectory_every: int = 0
+    # Refinement / partial diffusion (SDEdit, arXiv:2108.01073): run only
+    # the last round(strength * K) steps of the grid, starting from the
+    # CLEAN input q_sampled to the truncated grid's first timestep instead
+    # of pure noise. strength=1 (default) is ordinary sampling; small
+    # strengths harmonize existing hole content (a cheap fill, a previous
+    # sample, a user edit) at a fraction of the model evaluations —
+    # `pipe.inpaint(composite, mask, key, strength=0.3)`. The clean init is
+    # `x_init` when given, else `gt` (which must then carry real hole
+    # content, not zeros). Defined for ddim/ddpm/dpm methods.
+    strength: float = 1.0
     # RePaint time-travel resampling (method="repaint", arXiv:2201.09865).
     # The reference's injection mechanism IS RePaint's conditioning step
     # (`gaussian_diffusion.py:114-157`); these add the resampling loop it
@@ -139,16 +149,25 @@ def _injection_gate(ts: np.ndarray, schedule: str, T: int) -> np.ndarray:
 
 def _respaced_seq(sched: DiffusionSchedule, cfg: SamplerConfig,
                   acp: np.ndarray) -> np.ndarray:
-    """The descending timestep grid for this config (explicit > spaced > full)."""
+    """The descending timestep grid for this config (explicit > spaced > full).
+
+    cfg.strength < 1 keeps only the LAST round(strength * K) entries — the
+    SDEdit truncation (the caller q_samples its clean init to the kept
+    grid's first timestep, `_strength_init`)."""
     T = sched.num_timesteps
     if cfg.timesteps is not None:
         seq = np.asarray(cfg.timesteps, dtype=np.int64)
         assert (np.diff(seq) < 0).all(), "timesteps must be descending"
-        return seq
-    K = cfg.num_steps or T
-    if K >= T:
-        return np.arange(T)[::-1]
-    return timestep_sequence(T, K, cfg.time_spacing, alphas_cumprod=acp)
+    else:
+        K = cfg.num_steps or T
+        seq = (np.arange(T)[::-1] if K >= T else
+               timestep_sequence(T, K, cfg.time_spacing, alphas_cumprod=acp))
+    if not 0.0 < cfg.strength <= 1.0:
+        raise ValueError(f"strength must be in (0, 1], got {cfg.strength}")
+    if cfg.strength < 1.0:
+        k = max(1, int(round(cfg.strength * len(seq))))
+        seq = seq[len(seq) - k:]
+    return seq
 
 
 def _consistency_seq(sched: DiffusionSchedule, cfg: SamplerConfig) -> tuple:
@@ -593,6 +612,22 @@ def _check_key_batch(key, B: int):
             "(pass one key per sample, or a single unbatched key)")
 
 
+def _strength_init(sched, cfg: SamplerConfig, clean, init_key):
+    """SDEdit init: q_sample `clean` to the truncated grid's first timestep.
+
+    Raises for methods whose grids don't truncate (repaint's time-travel
+    ladder, consistency's boundary grid)."""
+    if cfg.method in ("repaint", "consistency"):
+        raise ValueError(
+            f"strength < 1 is defined for ddim/ddpm/dpm methods, not "
+            f"{cfg.method!r}")
+    acp = host_alphas_cumprod(sched)
+    seq = _respaced_seq(sched, cfg, acp)
+    a0 = float(acp[int(seq[0])])
+    noise = _key_normal(init_key, clean.shape, jnp.float32)
+    return np.sqrt(a0) * clean.astype(jnp.float32) + np.sqrt(1.0 - a0) * noise
+
+
 def _gt_noise(inject_key, timestep, shape, dtype):
     """Injection noise keyed by timestep — the cache contract (see module doc)."""
     return _key_normal(_key_fold(inject_key, timestep), shape, dtype)
@@ -792,8 +827,14 @@ def inpaint_sample(
 
     _check_key_batch(key, B)
     init_key, step_key, inject_key = _key_split(key, 3)
-    x = x_init if x_init is not None else _key_normal(init_key, gt.shape,
-                                                      gt.dtype)
+    if cfg.strength < 1.0:
+        # refinement: noise the CLEAN init (x_init, else gt's existing
+        # content) to the truncated grid's first step — SDEdit
+        x = _strength_init(sched, cfg,
+                           x_init if x_init is not None else gt, init_key)
+    else:
+        x = x_init if x_init is not None else _key_normal(init_key, gt.shape,
+                                                          gt.dtype)
     # the coefficient tables are strong f32: a lower-precision carry (bf16
     # gt/x_init) would change dtype across the scan body and fail to trace.
     # Sampler math runs in f32 regardless; the model casts internally.
@@ -958,7 +999,14 @@ def sample(
             "form")
     _check_key_batch(key, shape[0])
     init_key, step_key = _key_split(key, 2)
-    x = x_init if x_init is not None else _key_normal(init_key, shape)
+    if cfg.strength < 1.0:
+        if x_init is None:
+            raise ValueError(
+                "strength < 1 on the unconditional sampler needs x_init "
+                "(the clean image to refine)")
+        x = _strength_init(sched, cfg, x_init, init_key)
+    else:
+        x = x_init if x_init is not None else _key_normal(init_key, shape)
     x = x.astype(jnp.float32)  # f32 carry vs strong-f32 tables (see above)
     B = shape[0]
 
