@@ -793,7 +793,9 @@ def inpaint_sample(
         draw is made independently per sample, so row i equals the
         batch-1 run with key i regardless of what else is in the batch —
         the serving determinism contract (tests/test_batched_keys.py).
-      x_init: optional starting noise (defaults to N(0,1)).
+      x_init: optional starting state (defaults to N(0,1)); with
+        cfg.strength < 1 it is instead the CLEAN image to refine (noised
+        internally to the truncated grid's first timestep).
       cache_apply: required when cfg.encoder_cache_period > 1 — a pair
         (full_fn, cached_fn) where full_fn(x, t, mi, m) -> (out, cache)
         also returns the encoder features, and cached_fn(x, t, mi, m, cache)
@@ -989,7 +991,10 @@ def sample(
     -> out). `cond_fn(x, t) -> grad log p(y|x_t)` enables classifier
     guidance with the reference's `condition_mean`/`condition_score`
     semantics (`gaussian_diffusion.py:326-388`; consumed by `p_sample`/
-    `ddim_sample` at :357-485) for methods ddim/ddpm/repaint.
+    `ddim_sample` at :357-485) for methods ddim/ddpm/repaint. `key`
+    accepts per-sample batched keys ([B, 2]) with the same row-isolation
+    contract as `inpaint_sample`; cfg.strength < 1 refines `x_init`
+    (required then — the clean image to harmonize).
     """
     if cond_fn is not None and cfg.method in ("dpm++2m", "dpm++2m-sde",
                                           "dpm++3m", "consistency"):
