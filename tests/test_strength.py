@@ -104,6 +104,21 @@ def test_refinement_deterministic_and_key_batched(pipe):
     np.testing.assert_allclose(a[1], solo[0], rtol=1e-5, atol=1e-5)
 
 
+def test_strength_composes_with_deepcache(pipe):
+    """strength truncation and deep-trunk caching share the grid: the tail
+    logic counts from the TRUNCATED K, and the combined program keeps
+    every contract (finite, known pixels exact)."""
+    gt, mask = _data()
+    cfg = dataclasses.replace(
+        CFG.sampler, strength=0.5, encoder_cache_period=2, cache_branch=1,
+        encoder_cache_tail=2)
+    out = np.asarray(pipe.inpaint(gt, mask, jax.random.PRNGKey(1),
+                                  sampler=cfg))
+    keep = mask[..., 0] < 0.5
+    np.testing.assert_array_equal(out[keep], gt[keep])
+    assert np.isfinite(out).all()
+
+
 def test_strength_validation(pipe):
     gt, mask = _data()
     key = jax.random.PRNGKey(0)
