@@ -12,7 +12,9 @@ Protocol (POST /inpaint):
         one of the server's configured sampler presets (quality tiers:
         e.g. a consistency-1 "preview" and a dpm-25-sde "final" from the
         SAME deployment and weights).
-  response: npz with `image` [H,W,3] — the inpainted result.
+  response: npz with `image` [H,W,3] — the inpainted result — and `seed`,
+        the seed that produced it (explicit or server-assigned): replaying
+        (image, mask, seed, preset) reproduces the exact pixels.
 GET /healthz returns {"status": "ok", "batch_size": N, "presets": [...]}.
 
 Design: request threads enqueue (arrays, Future); a single dispatcher thread
@@ -176,7 +178,9 @@ class InpaintingServer:
                seed: Optional[int] = None,
                preset: Optional[str] = None,
                deadline_s: Optional[float] = None) -> Future:
-        """Enqueue one request; returns its Future.
+        """Enqueue one request; returns its Future (whose `request_seed`
+        attribute carries the assigned seed — the complete RNG contract
+        under per-request key isolation).
 
         Raises ServerOverloadedError when the queue is at max_queue.
         `deadline_s` (seconds from now; default = server default_deadline_s,
@@ -187,6 +191,10 @@ class InpaintingServer:
             raise ValueError(f"image must be [{S},{S},3], got {image.shape}")
         if mask.shape != (S, S, 1):
             raise ValueError(f"mask must be [{S},{S},1], got {mask.shape}")
+        if not (np.isfinite(image).all() and np.isfinite(mask).all()):
+            # NaN/Inf inputs would propagate through the sampler and come
+            # back as a 200 full of NaNs — a client error, caught here
+            raise ValueError("image/mask must be finite (no NaN/Inf)")
         if preset is None:
             preset = self.default_preset
         elif preset not in self.presets:
@@ -207,6 +215,11 @@ class InpaintingServer:
                     if deadline_s is not None else None)
         req = _Request(np.asarray(image, np.float32),
                        np.asarray(mask, np.float32), seed, preset, deadline)
+        # reproducibility echo: clients that let the server assign the
+        # default (arrival-counter) seed can read it back and replay the
+        # request exactly (per-request key isolation makes the seed the
+        # complete RNG contract). The HTTP layer returns it in the npz.
+        req.future.request_seed = seed
         with self._cv:
             if len(self._pending) >= self.max_queue:
                 # already-expired entries are dead weight (they would be
@@ -511,10 +524,15 @@ def _make_handler(server: InpaintingServer):
                                                 if timeout_ms else None))
                 result = fut.result(timeout=600)
                 buf = io.BytesIO()
+                # seed echo: with per-request key isolation the seed is
+                # the complete RNG contract — replaying (image, mask,
+                # seed, preset) reproduces these exact pixels
+                reply = {"image": result,
+                         "seed": np.uint32(fut.request_seed)}
                 if server.compress_responses:
-                    np.savez_compressed(buf, image=result)
+                    np.savez_compressed(buf, **reply)
                 else:
-                    np.savez(buf, image=result)
+                    np.savez(buf, **reply)
                 body = buf.getvalue()
                 self.send_response(200)
                 self.send_header("Content-Type", "application/octet-stream")

@@ -105,13 +105,45 @@ def test_http_round_trip(pipeline):
             method="POST",
         )
         with urllib.request.urlopen(req, timeout=300) as r:
-            out = np.load(io.BytesIO(r.read()))["image"]
+            reply = np.load(io.BytesIO(r.read()))
+        out = reply["image"]
         assert out.shape == (S, S, 3)
+        assert int(reply["seed"]) == 7  # seed echo (reproducibility)
         keep = mask[..., 0] < 0.5
         np.testing.assert_array_equal(out[keep], image[keep])
+        # default-seeded request: the echoed seed replays the exact pixels
+        buf = io.BytesIO()
+        np.savez_compressed(buf, image=image, mask=mask)
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/inpaint", data=buf.getvalue(),
+            method="POST",
+        )
+        with urllib.request.urlopen(req, timeout=300) as r:
+            first = np.load(io.BytesIO(r.read()))
+        buf = io.BytesIO()
+        np.savez_compressed(buf, image=image, mask=mask,
+                            seed=int(first["seed"]))
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/inpaint", data=buf.getvalue(),
+            method="POST",
+        )
+        with urllib.request.urlopen(req, timeout=300) as r:
+            replay = np.load(io.BytesIO(r.read()))
+        np.testing.assert_array_equal(replay["image"], first["image"])
         # bad shape -> 400 with error body
         buf = io.BytesIO()
         np.savez_compressed(buf, image=image[:8], mask=mask)
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/inpaint", data=buf.getvalue(),
+            method="POST",
+        )
+        with pytest.raises(urllib.error.HTTPError) as exc_info:
+            urllib.request.urlopen(req, timeout=60)
+        assert exc_info.value.code == 400
+        # NaN input -> 400 (would otherwise come back as a 200 of NaNs)
+        bad = image.copy(); bad[0, 0, 0] = np.nan
+        buf = io.BytesIO()
+        np.savez_compressed(buf, image=bad, mask=mask, seed=1)
         req = urllib.request.Request(
             f"http://127.0.0.1:{port}/inpaint", data=buf.getvalue(),
             method="POST",
