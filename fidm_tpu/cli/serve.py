@@ -61,6 +61,13 @@ def parse_args(argv=None):
                         "in seconds instead of recompiling the batch-shape "
                         "ladder (written on first warmup; load only "
                         "trusted dirs — pickle format)")
+    p.add_argument("--refine_tier", type=float, default=None, metavar="S",
+                   help="add a 'refine' preset: the default preset with "
+                        "strength=S — SDEdit harmonization of a "
+                        "client-supplied composite at ~S x a full run's "
+                        "cost (docs/TUNING.md 3b; clients select it with "
+                        "preset='refine' and send their composite as "
+                        "'image')")
     p.add_argument("--image_size", type=int, default=256)
     p.add_argument("--schedule", default="quadratic")
     p.add_argument("--diffusion_steps", type=int, default=1000)
@@ -74,21 +81,46 @@ def parse_args(argv=None):
     return p.parse_args(argv)
 
 
-def main(argv=None):
-    from ..utils.cache import enable_compilation_cache
+def build_presets(args):
+    """{name: SamplerConfig} from --preset/--presets [+ --refine_tier].
 
-    enable_compilation_cache()
-    from ..models import ffhq256_config
-    from ..pipeline import SAMPLER_PRESETS, InpaintingPipeline, PipelineConfig
-    from ..serving import serve
+    The FIRST entry is the server default; the optional 'refine' tier is
+    the default preset at strength=S (clients send a composite as 'image'
+    and get an SDEdit harmonization pass at ~S x full cost)."""
+    import dataclasses
 
-    args = parse_args(argv)
+    from ..pipeline import SAMPLER_PRESETS
+
     names = args.presets or [args.preset]
     unknown = [n for n in names if n not in SAMPLER_PRESETS]
     if unknown:
         raise SystemExit(f"unknown presets: {unknown} "
                          f"(available: {sorted(SAMPLER_PRESETS)})")
     presets = {n: SAMPLER_PRESETS[n] for n in names}
+    if args.refine_tier is not None:
+        s = args.refine_tier
+        if not 0.0 < s < 1.0:
+            raise SystemExit(f"--refine_tier must be in (0, 1), got {s}")
+        base = presets[names[0]]
+        if base.method in ("repaint", "consistency"):
+            raise SystemExit(
+                f"--refine_tier needs a ddim/ddpm/dpm default preset, not "
+                f"{base.method!r}")
+        presets["refine"] = dataclasses.replace(base, strength=s)
+    return presets
+
+
+def main(argv=None):
+    from ..utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+    from ..models import ffhq256_config
+    from ..pipeline import InpaintingPipeline, PipelineConfig
+    from ..serving import serve
+
+    args = parse_args(argv)
+    presets = build_presets(args)
+    names = list(presets)
     config = PipelineConfig(
         unet=ffhq256_config(
             image_size=args.image_size,

@@ -331,6 +331,27 @@ def test_serve_cli_parse_defaults():
     assert args2.preset == "ddim-100"
 
 
+def test_serve_cli_build_presets_refine_tier():
+    import pytest
+
+    from fidm_tpu.cli.serve import build_presets, parse_args
+
+    presets = build_presets(parse_args(["--presets", "dpm-25-sde",
+                                        "ddim-100", "--refine_tier", "0.3"]))
+    assert list(presets) == ["dpm-25-sde", "ddim-100", "refine"]
+    # the refine tier is the DEFAULT preset at strength=S
+    assert presets["refine"].method == presets["dpm-25-sde"].method
+    assert presets["refine"].strength == 0.3
+    assert presets["dpm-25-sde"].strength == 1.0  # base unchanged
+    with pytest.raises(SystemExit, match="refine_tier"):
+        build_presets(parse_args(["--refine_tier", "1.5"]))
+    with pytest.raises(SystemExit, match="ddim/ddpm/dpm"):
+        build_presets(parse_args(["--preset", "repaint-100-light",
+                                  "--refine_tier", "0.3"]))
+    with pytest.raises(SystemExit, match="unknown presets"):
+        build_presets(parse_args(["--preset", "nope"]))
+
+
 def test_fid_stats_cli_and_evaluate_consumes_them(data_tree, tmp_path):
     """Precompute reference FID stats once (cli.fid_stats), then score an
     eval run against them — the pytorch-fid --save-stats workflow."""
