@@ -112,6 +112,16 @@ class InpaintingServer:
             presets = {"default": pipeline.config.sampler}
         if not presets:
             raise ValueError("presets must not be empty")
+        for name, cfg in presets.items():
+            if getattr(cfg, "trajectory_every", 0):
+                # the sampler then returns (images, trajectory) and the
+                # dispatcher's batch slicing would operate on the tuple —
+                # a misconfiguration better rejected at construction than
+                # surfaced as confusing 500s per request
+                raise ValueError(
+                    f"preset {name!r} sets trajectory_every="
+                    f"{cfg.trajectory_every}; trajectory emission is not "
+                    "servable (use the pipeline API for debugging runs)")
         self.presets = dict(presets)
         self.default_preset = next(iter(self.presets))
         self.program_cache_dir = program_cache_dir

@@ -338,6 +338,17 @@ def test_request_result_independent_of_batch_size(pipeline):
     np.testing.assert_allclose(together, alone, rtol=1e-5, atol=1e-6)
 
 
+def test_server_rejects_trajectory_presets(pipeline):
+    """trajectory_every makes the sampler return (images, trajectory) —
+    unservable; reject at construction, not as per-request 500s."""
+    import dataclasses
+
+    bad = dataclasses.replace(TINY.sampler, trajectory_every=2)
+    with pytest.raises(ValueError, match="trajectory"):
+        InpaintingServer(pipeline, batch_size=2,
+                         presets={"ok": TINY.sampler, "bad": bad})
+
+
 def test_close_with_drain_resolves_queued_work(pipeline):
     """Graceful shutdown: close(drain_s=...) lets every accepted request
     finish with a RESULT; a plain close() fails the backlog fast."""
