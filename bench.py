@@ -12,7 +12,9 @@ FIDM_BENCH_STEPS (default 100), FIDM_BENCH_METHOD (ddim | ddpm | dpm++2m |
 dpm++2m-sde | dpm++3m | repaint), FIDM_BENCH_ENCODER_CACHE (cache period;
 default 3, 1 = exact sampling as the headline), FIDM_BENCH_CACHE_BRANCH
 (deep-trunk branch depth, default 1), FIDM_BENCH_CACHE_TAIL (exact tail
-steps, default 10), FIDM_BENCH_JUMP_LEN / FIDM_BENCH_JUMP_N (repaint
+steps, default 10), FIDM_BENCH_CACHE_KEYSTEPS ('0,3,7,...' or
+'N@center:power' — explicit/non-uniform full-eval schedule replacing the
+periodic gate), FIDM_BENCH_JUMP_LEN / FIDM_BENCH_JUMP_N (repaint
 time-travel parameters). The default headline is the quality-qualified
 `ddim-100-deep` preset; when caching is on, the cache-free exact time is
 measured in the same run and reported as exact_time_per_sample_s.
@@ -58,6 +60,10 @@ def main():
     cache_tail = int(os.environ.get("FIDM_BENCH_CACHE_TAIL", "10"))
     if enc_cache <= 1:
         cache_branch, cache_tail = 0, 0
+    # FIDM_BENCH_CACHE_KEYSTEPS: explicit/non-uniform full-eval schedule —
+    # either '0,3,7,...' or 'N@center:power' (see sampling.keysteps_from_spec);
+    # replaces the periodic gate at the same branch depth.
+    keysteps_spec = os.environ.get("FIDM_BENCH_CACHE_KEYSTEPS")
     baseline = BASELINES.get((method, steps), BASELINE_TIME_PER_SAMPLE)
 
     from fidm_tpu.models import ffhq256_config
@@ -78,6 +84,18 @@ def main():
             jump_n_sample=int(os.environ.get("FIDM_BENCH_JUMP_N", "10")),
         ),
     )
+    if keysteps_spec:
+        from fidm_tpu.sampling.sampler import (_respaced_seq,
+                                               host_alphas_cumprod,
+                                               keysteps_from_spec)
+        from fidm_tpu.diffusion import DiffusionSchedule
+
+        sched = DiffusionSchedule.create(cfg.schedule, cfg.num_timesteps)
+        n_grid = len(_respaced_seq(sched, cfg.sampler,
+                                   host_alphas_cumprod(sched)))
+        cfg = dataclasses.replace(cfg, sampler=dataclasses.replace(
+            cfg.sampler,
+            cache_keysteps=keysteps_from_spec(keysteps_spec, n_grid)))
     pipe = InpaintingPipeline.create(cfg)
     if os.environ.get("FIDM_BENCH_BF16_PARAMS") == "1":
         pipe.cast_params(jnp.bfloat16)

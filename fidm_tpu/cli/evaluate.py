@@ -92,7 +92,17 @@ def parse_args(argv=None):
                         "(default), b>0 = DeepCache deep-trunk mode — cache "
                         "the decoder feature at branch depth b and recompute "
                         "only UNet levels 0..b-1 on non-key steps (skips "
-                        "more, keeps full-res skips fresh; use b=1)")
+                        "more, keeps full-res skips fresh; use b=1), -1 = "
+                        "output reuse — skip the model entirely on non-key "
+                        "steps (cheapest, coarsest)")
+    p.add_argument("--cache_keysteps", default=None,
+                   help="with --encoder_cache k>1: explicit full-evaluation "
+                        "schedule replacing the periodic gate. Either a "
+                        "comma list of ascending step indices starting at 0 "
+                        "('0,3,7,...') or 'N@center:power' to generate an "
+                        "N-evaluation non-uniform grid (DeepCache §4.2), "
+                        "e.g. '17@1.0:2.0' = 17 full evals concentrated at "
+                        "the low-noise end")
     p.add_argument("--save_trajectory", type=int, default=0, metavar="K",
                    help="save every K-th intermediate sampler state as a "
                         "per-sample horizontal strip PNG under "
@@ -220,6 +230,16 @@ def main(argv=None):
     if args.encoder_cache_tail is not None:
         sampler = dataclasses.replace(
             sampler, encoder_cache_tail=args.encoder_cache_tail)
+    if args.cache_keysteps is not None:
+        from ..diffusion import DiffusionSchedule
+        from ..sampling.sampler import (_respaced_seq, host_alphas_cumprod,
+                                        keysteps_from_spec)
+
+        sched = DiffusionSchedule.create(args.schedule, args.diffusion_steps)
+        n_grid = len(_respaced_seq(sched, sampler, host_alphas_cumprod(sched)))
+        sampler = dataclasses.replace(
+            sampler,
+            cache_keysteps=keysteps_from_spec(args.cache_keysteps, n_grid))
     if args.save_trajectory:
         sampler = dataclasses.replace(
             sampler, trajectory_every=args.save_trajectory)

@@ -310,6 +310,13 @@ class InpaintingPipeline:
         """Config-time DeepCache validation: a cache_branch that is silently
         ignored (period <= 1) or out of range would otherwise only surface
         deep inside the jitted UNet trace (or not at all)."""
+        if cfg.cache_keysteps is not None and cfg.encoder_cache_period <= 1:
+            raise ValueError(
+                f"cache_keysteps={cfg.cache_keysteps} has no effect with "
+                f"encoder_cache_period={cfg.encoder_cache_period}; set "
+                "encoder_cache_period > 1 (it enables caching; the explicit "
+                "grid then replaces the periodic gate)"
+            )
         if cfg.cache_branch:
             if cfg.encoder_cache_period <= 1:
                 raise ValueError(
@@ -318,9 +325,10 @@ class InpaintingPipeline:
                     "encoder_cache_period > 1 (or drop cache_branch)"
                 )
             n_levels = len(self.config.unet.channel_mult)
-            if not 1 <= cfg.cache_branch < n_levels:
+            if cfg.cache_branch != -1 and not 1 <= cfg.cache_branch < n_levels:
                 raise ValueError(
-                    f"cache_branch must be in [1, {n_levels - 1}] for "
+                    f"cache_branch must be -1 (output reuse) or in "
+                    f"[1, {n_levels - 1}] for "
                     f"channel_mult={self.config.unet.channel_mult}; got "
                     f"{cfg.cache_branch}"
                 )
@@ -343,7 +351,9 @@ class InpaintingPipeline:
                 return self.model.apply(variables, x, scale_t(t), mi, m)
 
             cache_apply = None
-            if cfg.encoder_cache_period > 1:
+            # output-reuse mode (cache_branch == -1) carries the previous
+            # raw output inside the scan — no cache-capable model needed
+            if cfg.encoder_cache_period > 1 and cfg.cache_branch != -1:
                 depth = cfg.cache_branch or None  # 0 = encoder mode
                 cache_apply = (
                     lambda x, t, mi, m: self.model.apply(

@@ -28,7 +28,7 @@ Both injection placements are supported:
 from __future__ import annotations
 
 import dataclasses
-from typing import Callable, Optional
+from typing import Callable, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -87,7 +87,25 @@ class SamplerConfig:
     #        AND keeps the full-resolution skip features fresh — encoder
     #        mode freezes those, which is where the fine detail lives.
     #        FLOPs concentrate in the full-res levels here, so use b=1.
+    #   -1 — output-reuse mode: skip the model ENTIRELY on non-key steps,
+    #        replaying the previous raw output (eps + variance channels)
+    #        through fresh per-step coefficients and injection. Zero
+    #        model cost per skipped step — the cheapest and coarsest
+    #        point on the caching frontier (the "skip" baseline of the
+    #        step-caching literature; DeepCache arXiv:2312.00858 §5
+    #        ablates against it). Needs no cache-capable model.
     cache_branch: int = 0
+    # Explicit cache schedule: strictly ascending 0-based indices into the
+    # respaced step grid that run the FULL model; every other step consumes
+    # the cache. Replaces the periodic (encoder_cache_period) + tail gate —
+    # encoder_cache_period > 1 is still required (it is the caching enable
+    # switch), but the period/tail values are then ignored. Step 0 MUST be
+    # in the grid (the zero-initialized cache would otherwise be consumed
+    # before it is ever filled). Budget-matched non-uniform grids come from
+    # `nonuniform_keysteps` — the generalized form of DeepCache's
+    # non-uniform 1:N strategy (arXiv:2312.00858 §4.2: concentrate full
+    # evaluations where features change fastest instead of uniformly).
+    cache_keysteps: Optional[Tuple[int, ...]] = None
     # Emit intermediate frames every k-th step (0 = off). When > 0, the
     # sampler returns `(final, trajectory)` where trajectory is
     # [N, B, H, W, C] f32 holding the post-update (post-injection) state
@@ -145,6 +163,84 @@ def _injection_gate(ts: np.ndarray, schedule: str, T: int) -> np.ndarray:
     if schedule == "low":
         return (ts < half).astype(np.float64)
     raise ValueError(f"unknown injection_schedule: {schedule}")
+
+
+def _cache_keymask(cfg: SamplerConfig, K: int) -> np.ndarray:
+    """Host boolean mask over the K scan steps: True = run the full model.
+
+    Default is the periodic + tail gate (`step % period == 0` or the last
+    `encoder_cache_tail` steps); `cfg.cache_keysteps` replaces it with an
+    explicit grid, validated here at trace time (strictly ascending, in
+    range, containing step 0 — the zero-initialized cache carry must be
+    filled before any cached step consumes it)."""
+    if cfg.cache_keysteps is None:
+        steps = np.arange(K)
+        return (steps % cfg.encoder_cache_period == 0) | (
+            steps >= K - cfg.encoder_cache_tail)
+    ks = np.asarray(cfg.cache_keysteps, dtype=np.int64)
+    if ks.ndim != 1 or ks.size == 0 or (np.diff(ks) <= 0).any():
+        raise ValueError(
+            "cache_keysteps must be a non-empty strictly ascending tuple, "
+            f"got {cfg.cache_keysteps!r}")
+    if ks[0] != 0:
+        raise ValueError(
+            "cache_keysteps must include step 0: the feature cache is "
+            "zero-initialized and must be written before it is read")
+    if ks[-1] >= K:
+        raise ValueError(
+            f"cache_keysteps out of range: max index {int(ks[-1])} vs "
+            f"{K} steps in this grid")
+    mask = np.zeros(K, dtype=bool)
+    mask[ks] = True
+    return mask
+
+
+def nonuniform_keysteps(K: int, n_key: int, *, center: float = 0.5,
+                        power: float = 1.2) -> Tuple[int, ...]:
+    """A non-uniform full-evaluation grid for `SamplerConfig.cache_keysteps`.
+
+    Generalizes DeepCache's non-uniform 1:N strategy (arXiv:2312.00858
+    §4.2): instead of one full evaluation every k steps, place the n_key
+    full evaluations with a power-law density around `center` (a fraction
+    of the chain: 0 = start / high noise, 1 = end / fine detail).
+    power > 1 concentrates key steps NEAR the center; power < 1 pushes
+    them toward the ends. center=0.5, power=1 is approximately uniform.
+
+    Step 0 is always included (the cache must be filled first) and
+    duplicates from rounding are dropped, so the returned grid can be
+    shorter than n_key — compare schedules by len(grid) (the real
+    model-evaluation budget), not by the requested n_key.
+    """
+    if not 1 <= n_key <= K:
+        raise ValueError(f"n_key must be in [1, {K}], got {n_key}")
+    if not 0.0 <= center <= 1.0:
+        raise ValueError(f"center must be in [0, 1], got {center}")
+    if power <= 0:
+        raise ValueError(f"power must be positive, got {power}")
+    u = np.linspace(-1.0, 1.0, n_key)
+    c = center * (K - 1)
+    radius = max(c, (K - 1) - c)
+    idx = np.round(c + np.sign(u) * np.abs(u) ** power * radius)
+    idx = np.clip(idx, 0, K - 1).astype(np.int64)
+    idx = np.unique(np.concatenate(([0], idx)))
+    return tuple(int(i) for i in idx)
+
+
+def keysteps_from_spec(spec: str, K: int) -> Tuple[int, ...]:
+    """Parse a CLI cache-schedule spec against a K-step chain.
+
+    Two forms: an explicit comma list of ascending step indices
+    ('0,3,7,12') used verbatim, or 'N@center:power' generating an
+    N-evaluation `nonuniform_keysteps` grid (':power' optional,
+    default 1.2) — e.g. '17@1.0:2.0' places 17 full evaluations
+    concentrated at the low-noise end of the chain."""
+    spec = spec.strip()
+    if "@" in spec:
+        n, _, cp = spec.partition("@")
+        c, _, p = cp.partition(":")
+        return nonuniform_keysteps(K, int(n), center=float(c),
+                                   power=float(p) if p else 1.2)
+    return tuple(int(s) for s in spec.split(","))
 
 
 def _respaced_seq(sched: DiffusionSchedule, cfg: SamplerConfig,
@@ -914,6 +1010,10 @@ def inpaint_sample(
         )
 
     period = cfg.encoder_cache_period
+    if cfg.cache_keysteps is not None and period <= 1:
+        raise ValueError(
+            "cache_keysteps requires encoder_cache_period > 1 (the period "
+            "enables caching; the explicit grid then replaces the gate)")
     traj0, record = _traj_recorder(cfg, int(xs["step"].shape[0]), x)
     if period <= 1:
         def body(carry, s):
@@ -926,6 +1026,33 @@ def inpaint_sample(
             return (x, aux, record(traj, x, s)), None
 
         (x, _, traj), _ = jax.lax.scan(body, (x, aux0, traj0), xs)
+    elif cfg.cache_branch == -1:
+        # output-reuse mode: the "cache" is the previous raw model output;
+        # non-key steps run no model at all. Step 0 is a key step
+        # (enforced by _cache_keymask) so the zero init is never consumed.
+        t_probe = jnp.zeros((B,), jnp.int32)
+        out_struct = jax.eval_shape(
+            lambda a, b: apply_fn(a, b, masked_image, mask), x, t_probe)
+        out0 = jnp.zeros(out_struct.shape, out_struct.dtype)
+
+        K = int(xs["step"].shape[0])
+        xs["is_key"] = jnp.asarray(_cache_keymask(cfg, K))
+
+        def body(carry, s):
+            x, aux, prev, traj = carry
+            t_full = jnp.full((B,), s["t"], jnp.int32)
+            x = _maybe_pre_inject(x, s, gt, keep, inject_key, pre)
+            out = jax.lax.cond(
+                s["is_key"],
+                lambda xt: apply_fn(xt[0], xt[1], masked_image, mask),
+                lambda xt: prev,
+                (x, t_full),
+            )
+            x, aux = update(x, aux, s, out)
+            x = _maybe_post_inject(x, s, gt, keep, inject_key, post)
+            return (x, aux, out, record(traj, x, s)), None
+
+        (x, _, _, traj), _ = jax.lax.scan(body, (x, aux0, out0, traj0), xs)
     else:
         if cache_apply is None:
             raise ValueError(
@@ -945,14 +1072,13 @@ def inpaint_sample(
         )
 
         K = int(xs["step"].shape[0])
+        xs["is_key"] = jnp.asarray(_cache_keymask(cfg, K))
 
         def body(carry, s):
             x, aux, cache, traj = carry
             t_full = jnp.full((B,), s["t"], jnp.int32)
             x = _maybe_pre_inject(x, s, gt, keep, inject_key, pre)
-            is_key = (s["step"] % period == 0) | (
-                s["step"] >= K - cfg.encoder_cache_tail
-            )
+            is_key = s["is_key"]
             out, cache = jax.lax.cond(
                 is_key,
                 lambda xt: full_fn(xt[0], xt[1], masked_image, mask),
@@ -1078,6 +1204,10 @@ def sample(
         )
 
     period = cfg.encoder_cache_period
+    if cfg.cache_keysteps is not None and period <= 1:
+        raise ValueError(
+            "cache_keysteps requires encoder_cache_period > 1 (the period "
+            "enables caching; the explicit grid then replaces the gate)")
     traj0, record = _traj_recorder(cfg, int(xs["step"].shape[0]), x)
     if period <= 1:
         def body(carry, s):
@@ -1088,6 +1218,31 @@ def sample(
             return (x, aux, record(traj, x, s)), None
 
         (x, _, traj), _ = jax.lax.scan(body, (x, aux0, traj0), xs)
+        return (x, traj) if cfg.trajectory_every > 0 else x
+
+    if cfg.cache_branch == -1:
+        # output-reuse mode (see inpaint_sample): non-key steps replay the
+        # previous raw output — no model call, no cache_apply needed.
+        out_struct = jax.eval_shape(
+            lambda a, b: apply_fn(a, b), x, jnp.zeros((B,), jnp.int32))
+        out0 = jnp.zeros(out_struct.shape, out_struct.dtype)
+
+        K = int(xs["step"].shape[0])
+        xs["is_key"] = jnp.asarray(_cache_keymask(cfg, K))
+
+        def body(carry, s):
+            x, aux, prev, traj = carry
+            t_full = jnp.full((B,), s["t"], jnp.int32)
+            out = jax.lax.cond(
+                s["is_key"],
+                lambda xt: apply_fn(xt[0], xt[1]),
+                lambda xt: prev,
+                (x, t_full),
+            )
+            x, aux = update(x, aux, s, out)
+            return (x, aux, out, record(traj, x, s)), None
+
+        (x, _, _, traj), _ = jax.lax.scan(body, (x, aux0, out0, traj0), xs)
         return (x, traj) if cfg.trajectory_every > 0 else x
 
     if cache_apply is None:
@@ -1104,13 +1259,12 @@ def sample(
     )
 
     K = int(xs["step"].shape[0])
+    xs["is_key"] = jnp.asarray(_cache_keymask(cfg, K))
 
     def body(carry, s):
         x, aux, cache, traj = carry
         t_full = jnp.full((B,), s["t"], jnp.int32)
-        is_key = (s["step"] % period == 0) | (
-            s["step"] >= K - cfg.encoder_cache_tail
-        )
+        is_key = s["is_key"]
         out, cache = jax.lax.cond(
             is_key,
             lambda xt: full_fn(xt[0], xt[1]),

