@@ -75,6 +75,9 @@ SHAPES = [
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--brush_masks", action="store_true")
+    p.add_argument("--num_steps", type=int, default=50,
+                   help="DDIM step count — 100 reproduces the flagship "
+                        "ddim-100-deep grid geometry (K=101)")
     args = p.parse_args()
 
     sched = DiffusionSchedule.create("cosine", T)
@@ -110,7 +113,7 @@ def main():
         mse = float((((out01 - gt01) ** 2) * hole).sum() / (hole.sum() * 3))
         return 10 * np.log10(1.0 / mse)
 
-    base_cfg = SamplerConfig(method="ddim", num_steps=50, eta=0.0,
+    base_cfg = SamplerConfig(method="ddim", num_steps=args.num_steps, eta=0.0,
                              injection=True, cache_branch=1)
     K = len(_respaced_seq(sched, base_cfg, host_alphas_cumprod(sched)))
 
@@ -119,7 +122,8 @@ def main():
                          gt=test["image"], mask=test["mask"],
                          key=jax.random.PRNGKey(7))
     exact_db = hole_psnr(out)
-    print(f"exact DDIM-50 ({K} evals): {exact_db:.2f} dB", flush=True)
+    print(f"exact DDIM-{args.num_steps} ({K} evals): {exact_db:.2f} dB",
+          flush=True)
 
     rows = [{"schedule": "exact", "budget": K,
              "hole_psnr_db": round(exact_db, 2)}]
@@ -145,9 +149,15 @@ def main():
             cfg_n = dataclasses.replace(base_cfg, encoder_cache_period=period,
                                         cache_keysteps=ks)
             run(cfg_n, f"{name} (b={budget})", budget)
+        # ablation: output-reuse (cache_branch=-1) at the SAME budget — how
+        # much does carrying deep-trunk features buy over skipping the
+        # model outright? (the "skip" baseline of the caching literature)
+        cfg_o = dataclasses.replace(base_cfg, encoder_cache_period=period,
+                                    encoder_cache_tail=tail, cache_branch=-1)
+        run(cfg_o, f"output-reuse p{period} t{tail}", budget)
 
-    out_path = ("/tmp/cache_schedule_brush.json" if args.brush_masks
-                else "/tmp/cache_schedule.json")
+    tag = "brush" if args.brush_masks else "box"
+    out_path = f"/tmp/cache_schedule_{tag}_k{args.num_steps}.json"
     with open(out_path, "w") as f:
         json.dump(rows, f, indent=1)
     print(f"wrote {out_path}")
