@@ -157,7 +157,8 @@ def main():
         # exact sampling measured in the same run, same inputs — the
         # cache-free anchor the speedup is claimed against
         exact = dataclasses.replace(cfg.sampler, encoder_cache_period=1,
-                                    cache_branch=0, encoder_cache_tail=0)
+                                    cache_branch=0, encoder_cache_tail=0,
+                                    cache_keysteps=None)
         sync(pipe.inpaint(gt, mask, key, sampler=exact))  # compile
         t0 = time.perf_counter()
         acc = None

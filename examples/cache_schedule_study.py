@@ -44,18 +44,28 @@ from toy_convergence import CFG, T, synth_batch, train_toy
 def grid_at_budget(K, budget, center, power):
     """A nonuniform_keysteps grid with EXACTLY `budget` entries.
 
-    Rounding dedup makes len(grid) non-monotone-ish in n_key; search the
-    smallest n_key reaching the budget, then top up with the latest steps
-    not already in the grid (they are the cheapest to add without changing
-    the shape's character)."""
-    lo, hi = budget, K
-    while lo < hi:
-        mid = (lo + hi) // 2
-        if len(nonuniform_keysteps(K, mid, center=center, power=power)) >= budget:
-            hi = mid
-        else:
-            lo = mid + 1
-    g = list(nonuniform_keysteps(K, lo, center=center, power=power))[:budget]
+    Rounding dedup makes len(grid) non-monotone-ish in n_key; scan upward
+    from n_key=budget for the smallest n_key reaching it (no binary search
+    — the length is not guaranteed monotone in n_key). If the found grid
+    overshoots, thin the most CLOSELY spaced entries (their neighbors cover
+    them, so removal barely moves the shape) — truncating the tail instead
+    would delete exactly the high-index evaluations an end-heavy shape is
+    supposed to concentrate, biasing the study against it. If it
+    undershoots, top up with the latest unused steps."""
+    g = None
+    for n in range(budget, K + 1):
+        cand = nonuniform_keysteps(K, n, center=center, power=power)
+        if len(cand) >= budget:
+            g = list(cand)
+            break
+    if g is None:
+        g = list(nonuniform_keysteps(K, K, center=center, power=power))
+    while len(g) > budget:
+        # drop the entry (never index 0) with the smallest gap to its
+        # predecessor — the densest cluster loses one redundant member
+        gaps = [(g[i] - g[i - 1], i) for i in range(1, len(g))]
+        _, i_drop = min(gaps)
+        g.pop(i_drop)
     missing = budget - len(g)
     if missing > 0:
         extra = [i for i in range(K - 1, -1, -1) if i not in set(g)][:missing]

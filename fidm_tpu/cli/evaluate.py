@@ -235,6 +235,15 @@ def main(argv=None):
         from ..sampling.sampler import (_respaced_seq, host_alphas_cumprod,
                                         keysteps_from_spec)
 
+        if sampler.method in ("consistency", "repaint"):
+            # consistency samples on _consistency_seq and repaint on its
+            # time-travel walk — both differ in length from _respaced_seq,
+            # so an "N@center:power" spec would be scaled to the wrong K
+            # (silently misplaced key steps). Reject up front.
+            raise SystemExit(
+                f"--cache_keysteps is not supported with "
+                f"method={sampler.method!r} (its step grid is not the "
+                f"respaced DDIM grid the spec is scaled to)")
         sched = DiffusionSchedule.create(args.schedule, args.diffusion_steps)
         n_grid = len(_respaced_seq(sched, sampler, host_alphas_cumprod(sched)))
         sampler = dataclasses.replace(

@@ -941,6 +941,15 @@ def inpaint_sample(
     pre = cfg.injection and cfg.injection_point == "pre"
     post = cfg.injection and cfg.injection_point == "post"
 
+    # validate before any method branch: the repaint branch returns early,
+    # and a cache_keysteps grid silently ignored there (period<=1) would
+    # hide a config error from direct library callers (the pipeline also
+    # checks at config time, but this is the documented entry point)
+    if cfg.cache_keysteps is not None and cfg.encoder_cache_period <= 1:
+        raise ValueError(
+            "cache_keysteps requires encoder_cache_period > 1 (the period "
+            "enables caching; the explicit grid then replaces the gate)")
+
     if cfg.method == "repaint":
         # time-travel walk: its own body — renoise transitions skip the
         # model call entirely (lax.cond), so a jump costs only jump_length
@@ -1009,11 +1018,7 @@ def inpaint_sample(
             extract_raw=lambda out: out[..., :3],  # ":523-529"
         )
 
-    period = cfg.encoder_cache_period
-    if cfg.cache_keysteps is not None and period <= 1:
-        raise ValueError(
-            "cache_keysteps requires encoder_cache_period > 1 (the period "
-            "enables caching; the explicit grid then replaces the gate)")
+    period = cfg.encoder_cache_period  # cache_keysteps validated above
     traj0, record = _traj_recorder(cfg, int(xs["step"].shape[0]), x)
     if period <= 1:
         def body(carry, s):
@@ -1141,6 +1146,12 @@ def sample(
     x = x.astype(jnp.float32)  # f32 carry vs strong-f32 tables (see above)
     B = shape[0]
 
+    # validate before the early-returning repaint branch (see inpaint_sample)
+    if cfg.cache_keysteps is not None and cfg.encoder_cache_period <= 1:
+        raise ValueError(
+            "cache_keysteps requires encoder_cache_period > 1 (the period "
+            "enables caching; the explicit grid then replaces the gate)")
+
     if cfg.method == "repaint":
         if cfg.encoder_cache_period > 1:
             raise ValueError(
@@ -1203,11 +1214,7 @@ def sample(
                 out, cfg.var_type)[0],
         )
 
-    period = cfg.encoder_cache_period
-    if cfg.cache_keysteps is not None and period <= 1:
-        raise ValueError(
-            "cache_keysteps requires encoder_cache_period > 1 (the period "
-            "enables caching; the explicit grid then replaces the gate)")
+    period = cfg.encoder_cache_period  # cache_keysteps validated above
     traj0, record = _traj_recorder(cfg, int(xs["step"].shape[0]), x)
     if period <= 1:
         def body(carry, s):

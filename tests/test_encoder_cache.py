@@ -354,6 +354,18 @@ def test_cache_keysteps_validation():
     with pytest.raises(ValueError, match="encoder_cache_period"):
         pipe.inpaint(gt, mask, key, sampler=s)
 
+    # direct library entry point: the repaint branch returns before the
+    # period>1 machinery, so the guard must fire BEFORE the method branch
+    from fidm_tpu.sampling import inpaint_sample, sample
+
+    s = dataclasses.replace(base, method="repaint", cache_keysteps=(0, 4))
+    apply_fn = lambda x, t, mi, m: jnp.zeros_like(x)
+    with pytest.raises(ValueError, match="encoder_cache_period"):
+        inpaint_sample(apply_fn, pipe.sched, s, gt=gt, mask=mask, key=key)
+    with pytest.raises(ValueError, match="encoder_cache_period"):
+        sample(lambda x, t: jnp.zeros_like(x), pipe.sched, s,
+               shape=gt.shape, key=key)
+
 
 def test_nonuniform_keysteps_generator():
     from fidm_tpu.sampling import nonuniform_keysteps
