@@ -176,7 +176,8 @@ def main(argv=None):
 
     sampler = SAMPLER_PRESETS[args.preset]
     if args.ddim_timesteps is not None and sampler.method in (
-            "ddim", "ddpm", "dpm++2m", "dpm++2m-sde", "dpm++3m", "repaint",
+            "ddim", "ddpm", "dpm++2m", "dpm++2m-sde", "dpm++3m", "unipc",
+            "repaint",
             "consistency"):
         sampler = dataclasses.replace(sampler, num_steps=args.ddim_timesteps)
     if args.jump_length is not None:

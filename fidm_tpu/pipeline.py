@@ -76,6 +76,13 @@ SAMPLER_PRESETS = {
     # warmup 1->2->3 and a first-order final step (sampler._dpm3m_tables)
     "dpm3-20": SamplerConfig(method="dpm++3m", num_steps=20, injection=True),
     "dpm3-12": SamplerConfig(method="dpm++3m", num_steps=12, injection=True),
+    # UniPC (arXiv:2302.04867, bh2): predictor-corrector multistep — the
+    # corrector reuses each step's model evaluation for an extra order of
+    # accuracy at zero extra model cost: beats dpm++2m at every K >= 8 on
+    # the analytic ODE's closed-form solution (tests/test_unipc.py;
+    # default order 2 — order 3 is erratic like dpm3)
+    "unipc-20": SamplerConfig(method="unipc", num_steps=20, injection=True),
+    "unipc-10": SamplerConfig(method="unipc", num_steps=10, injection=True),
     # consistency-distilled students (distill/consistency.py, trained via
     # `cli.distill --mode consistency`): 1-2 model evaluations per sample —
     # the measured 16x step cut of examples/toy_consistency.py. Only

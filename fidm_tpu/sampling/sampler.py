@@ -47,7 +47,8 @@ __all__ = ["SamplerConfig", "inpaint_sample", "sample", "host_alphas_cumprod",
 
 @dataclasses.dataclass(frozen=True)
 class SamplerConfig:
-    # ddim | ddpm | dpm++2m | dpm++2m-sde | dpm++3m | repaint | consistency
+    # ddim | ddpm | dpm++2m | dpm++2m-sde | dpm++3m | unipc | repaint |
+    # consistency
     method: str = "ddim"
     num_steps: Optional[int] = 100       # DDIM subset size; None = all T
     # explicit descending timestep grid (overrides num_steps) — used e.g.
@@ -126,6 +127,20 @@ class SamplerConfig:
     # `x_init` when given, else `gt` (which must then carry real hole
     # content, not zeros). Defined for ddim/ddpm/dpm methods.
     strength: float = 1.0
+    # UniPC (method="unipc", arXiv:2302.04867): unified predictor-corrector
+    # multistep solver in data-prediction form, B(h) = e^h - 1 variant
+    # ("bh2" — chosen so the order-2 predictor coincides exactly with
+    # DPM-Solver++(2M) on any grid; tested). unipc_order p = 2 or 3 is the
+    # PREDICTOR order; the corrector reuses the model evaluation made at
+    # each new point to apply a (p+1)-order-accurate correction at zero
+    # extra model cost. Default order 2: on the analytic-ODE landscape
+    # (tests/test_unipc.py) order 2 + corrector beats dpm++2m at every
+    # K >= 8 on both uniform and lambda spacing, while order 3 is erratic
+    # exactly like dpm++3m (large-h extrapolation). unipc_corrector=False
+    # runs the bare UniP predictor (then order 2 == dpm++2m bitwise).
+    # Deterministic; `eta` is ignored.
+    unipc_order: int = 2
+    unipc_corrector: bool = True
     # RePaint time-travel resampling (method="repaint", arXiv:2201.09865).
     # The reference's injection mechanism IS RePaint's conditioning step
     # (`gaussian_diffusion.py:114-157`); these add the resampling loop it
@@ -291,6 +306,14 @@ def _ddim_tables(sched: DiffusionSchedule, cfg: SamplerConfig):
     a_t = acp[seq]
     a_prev = np.append(acp[seq[1:]], 1.0)  # last step's "previous" is x_0
     sigma = cfg.eta * np.sqrt((1 - a_prev) / (1 - a_t)) * np.sqrt(1 - a_t / a_prev)
+    # posterior mean coefficients of the (respaced) chain, used to invert a
+    # PREVIOUS_X model's output into pred_x0 (`_x0_eps_from_raw`); mirrors
+    # `_predict_xstart_from_xprev` (gaussian_diffusion.py:307-314) on the
+    # retained-step chain (SpacedDiffusion recomputes them the same way).
+    # At the final step a_prev=1 gives coef1=1, coef2=0 (x0 = xprev).
+    betas_r = 1.0 - a_t / a_prev
+    post_c1 = betas_r * np.sqrt(a_prev) / (1.0 - a_t)
+    post_c2 = (1.0 - a_prev) * np.sqrt(1.0 - betas_r) / (1.0 - a_t)
     return {
         "t": seq.astype(np.int32),
         "sqrt_one_minus_a_t": np.sqrt(1 - a_t),
@@ -314,6 +337,8 @@ def _ddim_tables(sched: DiffusionSchedule, cfg: SamplerConfig):
         "pre_inject_gate": _injection_gate(seq, cfg.injection_schedule, T),
         "pre_inject_sqrt_a": np.sqrt(a_t),
         "pre_inject_sqrt_1ma": np.sqrt(1 - a_t),
+        "xprev_inv_c1": 1.0 / post_c1,
+        "xprev_c2c1": post_c2 / post_c1,
         "step": np.arange(len(seq), dtype=np.int32),
     }
 
@@ -436,6 +461,137 @@ def _dpm3m_tables(sched: DiffusionSchedule, cfg: SamplerConfig):
         base["inv_r1"] = np.where(ord3, h_safe / h1, 0.0)         # 1/r1
         base["w"] = np.where(ord3, h0 / (h0 + h1), 0.0)     # r0/(r0+r1)
         base["inv_r01"] = np.where(ord3, h_safe / (h0 + h1), 0.0)
+    for unused in ("dir_coef", "sigma", "noise_gate", "sqrt_a_prev"):
+        del base[unused]
+    return base
+
+
+def _unipc_b_coeffs(h: float, order: int) -> np.ndarray:
+    """The UniPC right-hand side b_k = h*phi_{k+1}(-h) * k! / B(h), k=1..order
+    (arXiv:2302.04867 eq. 14-16, data-prediction form, B(h) = e^{-h} - 1 in
+    the hh = -h convention — the "bh2" variant). Computed with the expm1
+    recurrence phi_{k+1}(z) = (phi_k(z) - 1/k!) / z to avoid cancellation."""
+    hh = -h
+    h_phi_1 = np.expm1(hh)
+    B_h = h_phi_1  # bh2
+    b = np.empty(order)
+    h_phi_k = h_phi_1 / hh - 1.0
+    fact = 1.0
+    for i in range(1, order + 1):
+        b[i - 1] = h_phi_k * fact / B_h
+        fact *= i + 1
+        h_phi_k = h_phi_k / hh - 1.0 / fact
+    return b
+
+
+def _unipc_rhos(rks: np.ndarray, h: float, order: int,
+                corrector: bool) -> np.ndarray:
+    """Solve the UniPC Vandermonde system R rho = b in float64.
+
+    rks has `order` entries: the order-1 normalized previous-point offsets
+    r_j = (lambda_j - lambda_0)/h plus a trailing 1.0 for the new point.
+    The predictor (UniP) drops the new point (solves the top-left
+    (order-1)^2 block); the corrector (UniC) solves the full system. The
+    low-order special cases match diffusers' UniPCMultistepScheduler
+    (predictor order 2 -> [0.5], corrector order 1 -> [0.5]) — which is
+    also what the B(h) system yields in the h -> 0 limit."""
+    R = np.vstack([rks ** k for k in range(order)])
+    b = _unipc_b_coeffs(h, order)
+    if corrector:
+        if order == 1:
+            return np.array([0.5])
+        return np.linalg.solve(R, b)
+    if order == 2:
+        return np.array([0.5])
+    return np.linalg.solve(R[:-1, :-1], b[:-1])
+
+
+def _unipc_tables(sched: DiffusionSchedule, cfg: SamplerConfig):
+    """Per-step tables for UniPC (arXiv:2302.04867), data-prediction form.
+
+    Each scan step i makes ONE model evaluation at (x_i, t_i), converts it
+    to an x0 prediction m_new, then:
+      corrector (i >= 1): rebuild the sample at t_i from the sample the
+        previous predictor stepped FROM (last_x, at t_{i-1}) using the
+        history AND m_new — the UniC-p update, one order higher than the
+        predictor that produced x_i, at zero extra model cost;
+      predictor: step the corrected x_i to t_{i+1} with the UniP-p update
+        over {m_new} + history.
+    All D1 divisions by r_j are folded into the coefficients, so the scan
+    consumes plain linear combinations:
+      x_corr = c_coef_x*last_x + c_coef_m0*hist0
+               + sum_j c_c[j]*(hist_j - hist0) + c_new*(m_new - hist0)
+      x_next = p_coef_x*x_corr + p_coef_m0*m_new
+               + sum_j p_c[j]*(hist_j - m_new)
+    Order warmup: predictor order min(unipc_order, i+1, K-i) (ramp-up +
+    diffusers' lower_order_final: the terminal step to alpha_bar=1 has
+    h = inf and collapses to x = m_new); the corrector at step i uses the
+    order of the predictor that produced x_i (step i-1's).
+    """
+    order = int(cfg.unipc_order)
+    if not 1 <= order <= 3:
+        raise ValueError(f"unipc_order must be 1, 2, or 3, got {order}")
+    base = _ddim_tables(sched, dataclasses.replace(cfg, eta=0.0))
+    a_t = base["sqrt_a_t"].astype(np.float64) ** 2
+    a_prev = base["sqrt_a_prev"].astype(np.float64) ** 2
+    alpha_t, sigma_t = np.sqrt(a_t), np.sqrt(1.0 - a_t)
+    alpha_p, sigma_p = np.sqrt(a_prev), np.sqrt(1.0 - a_prev)
+    with np.errstate(divide="ignore"):
+        lam = 0.5 * (np.log(a_t) - np.log1p(-a_t))
+        lam_p = 0.5 * (np.log(a_prev) - np.log1p(-a_prev))  # +inf at a_prev=1
+    K = len(lam)
+    D = max(order - 1, 1)  # history depth consumed by the predictor
+    p_c = np.zeros((K, D))
+    c_c = np.zeros((K, D))
+    c_new = np.zeros(K)
+    c_on = np.zeros(K)
+    c_coef_x = np.zeros(K)
+    c_coef_m0 = np.zeros(K)
+    p_order = np.zeros(K, dtype=np.int64)
+    for i in range(K):
+        p_order[i] = min(order, i + 1, K - i)
+    # predictor coefficients, step i -> i+1 (h may be inf on the last step)
+    h = lam_p - lam
+    finite = np.isfinite(h)
+    h_safe = np.where(finite, h, 1.0)
+    exp_mh = np.where(finite, np.exp(-h_safe), 0.0)
+    p_coef_x = np.where(finite, sigma_p / sigma_t, 0.0)
+    p_coef_m0 = alpha_p * (1.0 - exp_mh)
+    B_h = exp_mh - 1.0  # bh2: B(hh) = expm1(hh), hh = -h
+    for i in range(K):
+        p = int(p_order[i])
+        if p < 2 or not finite[i]:
+            continue
+        rks = np.array([(lam[i - j] - lam[i]) / h[i] for j in range(1, p)]
+                       + [1.0])
+        rhos = _unipc_rhos(rks, h[i], p, corrector=False)
+        for j in range(p - 1):
+            p_c[i, j] = -alpha_p[i] * B_h[i] * rhos[j] / rks[j]
+    # corrector at step i rebuilds the sample at t_i over [t_{i-1}, t_i]
+    if cfg.unipc_corrector:
+        for i in range(1, K):
+            co = int(p_order[i - 1])  # order of the predictor that made x_i
+            h_c = lam[i] - lam[i - 1]
+            rks = np.array(
+                [(lam[i - 1 - j] - lam[i - 1]) / h_c for j in range(1, co)]
+                + [1.0])
+            rhos = _unipc_rhos(rks, h_c, co, corrector=True)
+            c_on[i] = 1.0
+            c_coef_x[i] = sigma_t[i] / sigma_t[i - 1]
+            c_coef_m0[i] = alpha_t[i] * -np.expm1(-h_c)
+            B_hc = np.expm1(-h_c)
+            for j in range(co - 1):
+                c_c[i, j] = -alpha_t[i] * B_hc * rhos[j] / rks[j]
+            c_new[i] = -alpha_t[i] * B_hc * rhos[co - 1]
+    base["p_coef_x"] = p_coef_x
+    base["p_coef_m0"] = p_coef_m0
+    base["c_coef_x"] = c_coef_x
+    base["c_coef_m0"] = c_coef_m0
+    base["c_new"] = c_new
+    base["c_on"] = c_on
+    for j in range(D):
+        base[f"p_c{j}"] = p_c[:, j]
+        base[f"c_c{j}"] = c_c[:, j]
     for unused in ("dir_coef", "sigma", "noise_gate", "sqrt_a_prev"):
         del base[unused]
     return base
@@ -608,6 +764,13 @@ def _x0_eps_from_raw(raw, x, s, cfg: SamplerConfig):
         pred_x0 = s["sqrt_a_t"] * x - s["sqrt_one_minus_a_t"] * raw
     elif cfg.mean_type == gd.ModelMeanType.START_X:
         pred_x0 = raw
+    elif cfg.mean_type == gd.ModelMeanType.PREVIOUS_X:
+        # invert the posterior mean: the model's x_{t-1} prediction maps to
+        # pred_x0 via the respaced-chain coefficients baked into the tables
+        # (`_predict_xstart_from_xprev`, gaussian_diffusion.py:307-314) —
+        # this closes the scan-sampler xprev hole: ddim/dpm/consistency all
+        # flow through here
+        pred_x0 = s["xprev_inv_c1"] * raw - s["xprev_c2c1"] * x
     else:
         raise NotImplementedError(cfg.mean_type)
     eps = (x - s["sqrt_a_t"] * pred_x0) / s["sqrt_one_minus_a_t"]
@@ -835,6 +998,36 @@ def _shared_update(sched, cfg, x, step_key, B, cond_fn, extract_raw):
         # (inv_r0/inv_r1 gate them to 0 during the order warmup)
         return xs, (jnp.zeros_like(x), jnp.zeros_like(x)), update
 
+    if cfg.method == "unipc":
+        xs = _to_device_xs(_unipc_tables(sched, cfg))
+        depth = max(int(cfg.unipc_order), 1)   # history entries carried
+        width = max(int(cfg.unipc_order) - 1, 1)  # coefficient slots
+
+        def update(x, aux, s, out):
+            last_x, hist = aux
+            m_new, _ = _x0_eps_from_raw(extract_raw(out), x, s, cfg)
+            if cfg.clip_denoised:
+                m_new = jnp.clip(m_new, -1.0, 1.0)
+            # UniC: rebuild the sample at this level from last_x using the
+            # evaluation just made (c_on = 0 at step 0 -> keep x)
+            x_c = (s["c_coef_x"] * last_x + s["c_coef_m0"] * hist[0]
+                   + s["c_new"] * (m_new - hist[0]))
+            for j in range(width):
+                if j + 1 < depth:
+                    x_c = x_c + s[f"c_c{j}"] * (hist[j + 1] - hist[0])
+            x = x + s["c_on"] * (x_c - x)
+            # UniP: step the corrected sample to the next level
+            x_next = s["p_coef_x"] * x + s["p_coef_m0"] * m_new
+            for j in range(width):
+                x_next = x_next + s[f"p_c{j}"] * (hist[j] - m_new)
+            return x_next, (x, (m_new,) + hist[:-1])
+
+        # aux: (the sample each predictor steps FROM, x0-prediction history
+        # newest-first). Zero entries are never consumed: the warmup orders
+        # gate their coefficients to 0.
+        hist0 = tuple(jnp.zeros_like(x) for _ in range(depth))
+        return xs, (jnp.zeros_like(x), hist0), update
+
     if cfg.method == "consistency":
         # multistep consistency sampling (Song et al. 2023, Alg. 1, VP
         # form) for consistency students (distill/consistency.py): each
@@ -915,11 +1108,11 @@ def inpaint_sample(
     """
     B = gt.shape[0]
     if cond_fn is not None and cfg.method in ("dpm++2m", "dpm++2m-sde",
-                                          "dpm++3m", "consistency"):
+                                          "dpm++3m", "unipc", "consistency"):
         raise ValueError(
             "classifier guidance (cond_fn) is defined for ddim/ddpm/repaint; "
-            "the DPM-Solver++/consistency updates have no reference-guided "
-            "form")
+            "the DPM-Solver++/UniPC/consistency updates have no "
+            "reference-guided form")
     keep = (1.0 - mask).astype(gt.dtype)
     masked_image = gt * keep  # model conditioning (test_inpainting_better.py:387-390)
 
@@ -1128,11 +1321,11 @@ def sample(
     (required then — the clean image to harmonize).
     """
     if cond_fn is not None and cfg.method in ("dpm++2m", "dpm++2m-sde",
-                                          "dpm++3m", "consistency"):
+                                          "dpm++3m", "unipc", "consistency"):
         raise ValueError(
             "classifier guidance (cond_fn) is defined for ddim/ddpm/repaint; "
-            "the DPM-Solver++/consistency updates have no reference-guided "
-            "form")
+            "the DPM-Solver++/UniPC/consistency updates have no "
+            "reference-guided form")
     _check_key_batch(key, shape[0])
     init_key, step_key = _key_split(key, 2)
     if cfg.strength < 1.0:

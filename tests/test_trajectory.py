@@ -166,7 +166,7 @@ def test_pipeline_validates_cache_branch():
         pipe.inpaint(gt, mask, key, sampler=SamplerConfig(
             method="ddim", num_steps=4, cache_branch=1))
     # TINY has channel_mult=(1, 2): only branch 1 is legal
-    with pytest.raises(ValueError, match="cache_branch must be in"):
+    with pytest.raises(ValueError, match="cache_branch must be"):
         pipe.inpaint(gt, mask, key, sampler=SamplerConfig(
             method="ddim", num_steps=4, encoder_cache_period=2,
             cache_branch=2))
