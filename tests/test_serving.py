@@ -727,3 +727,158 @@ def test_full_queue_of_expired_entries_admits_live_work(pipeline):
             server.submit(im, m, seed=1)
     finally:
         server.close()
+
+
+def test_overlapped_dispatch_resolves_all_and_counts_phases(pipeline):
+    """Default max_inflight=2: a quick stream of mixed-preset requests
+    (forcing consecutive different-program batches, the overlap case)
+    resolves every future correctly, and phases_ms records the unfenced
+    phases (assemble/dispatch/download)."""
+    fast = SamplerConfig(method="ddim", num_steps=2, eta=1.0, injection=True)
+    server = InpaintingServer(pipeline, batch_size=2, max_wait_ms=1.0,
+                              presets={"final": TINY.sampler, "fast": fast})
+    assert server.max_inflight == 2
+    try:
+        im, m = _sample_input(5)
+        futs = [server.submit(im, m, seed=i,
+                              preset=("fast", "final")[i % 2])
+                for i in range(8)]
+        outs = [f.result(timeout=300) for f in futs]
+        keep = m[..., 0] < 0.5
+        for out in outs:
+            np.testing.assert_array_equal(out[keep], im[keep])
+        # per-request key isolation must survive the overlapped path:
+        # same (inputs, seed, preset) resubmitted alone == earlier result
+        again = server.submit(im, m, seed=3, preset="final").result(
+            timeout=300)
+        np.testing.assert_array_equal(again, outs[3])
+        snap = server.stats_snapshot()
+        ph = snap["phases_ms"]
+        for name in ("assemble", "dispatch", "download"):
+            assert ph[name]["n"] >= 1, ph
+        assert ph["download"]["n"] == snap["batches"]
+    finally:
+        server.close()
+
+
+def test_instrument_mode_fences_and_times_every_phase(pipeline):
+    """instrument=True forces serial dispatch and records the full fenced
+    breakdown: assemble/upload/dispatch/execute/download."""
+    server = InpaintingServer(pipeline, batch_size=2, instrument=True,
+                              max_inflight=4)
+    assert server.max_inflight == 1  # fencing serializes
+    try:
+        im, m = _sample_input(6)
+        out = server.submit(im, m, seed=7).result(timeout=300)
+        keep = m[..., 0] < 0.5
+        np.testing.assert_array_equal(out[keep], im[keep])
+        ph = server.stats_snapshot()["phases_ms"]
+        for name in ("assemble", "upload", "dispatch", "execute",
+                     "download"):
+            assert ph[name]["n"] == 1 and ph[name]["ms"] >= 0.0, ph
+    finally:
+        server.close()
+
+
+def test_serial_max_inflight_one_still_works(pipeline):
+    server = InpaintingServer(pipeline, batch_size=2, max_inflight=1)
+    try:
+        im, m = _sample_input(8)
+        futs = [server.submit(im, m, seed=i) for i in range(4)]
+        for f in futs:
+            out = f.result(timeout=300)
+            keep = m[..., 0] < 0.5
+            np.testing.assert_array_equal(out[keep], im[keep])
+    finally:
+        server.close()
+    with pytest.raises(ValueError, match="max_inflight"):
+        InpaintingServer(pipeline, batch_size=2, max_inflight=0)
+
+
+def test_http_fuzz_shapes_dtypes_and_preset_flood(pipeline):
+    """Extended fuzz surface (round-3 verdict #8): oversized and zero-dim
+    shapes, dtype spoofing, and an unknown-preset flood are all 400s — and
+    the server still serves a valid request afterwards."""
+    from fidm_tpu.serving.server import _make_handler
+    from http.server import ThreadingHTTPServer
+
+    server = InpaintingServer(pipeline, batch_size=2, max_wait_ms=5)
+    httpd = ThreadingHTTPServer(("127.0.0.1", 0), _make_handler(server))
+    port = httpd.server_address[1]
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+
+    def post_expect_400(**arrays):
+        buf = io.BytesIO()
+        np.savez(buf, **arrays)
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/inpaint", data=buf.getvalue(),
+            method="POST")
+        with pytest.raises(urllib.error.HTTPError) as exc:
+            urllib.request.urlopen(req, timeout=60)
+        assert exc.value.code == 400, arrays.keys()
+
+    im, m = _sample_input(11)
+    try:
+        # oversized / zero-dim / transposed shapes
+        post_expect_400(image=np.zeros((1024, 1024, 3), np.float32), mask=m)
+        post_expect_400(image=np.zeros((0, 0, 3), np.float32), mask=m)
+        post_expect_400(image=im, mask=np.zeros((1, S, S), np.float32))
+        # dtype spoofing: a string array raises on finite-check/convert
+        post_expect_400(image=np.array(["x"] * S * S * 3).reshape(S, S, 3),
+                        mask=m)
+        # NaN seed and non-scalar seed
+        post_expect_400(image=im, mask=m, seed=np.float64("nan"))
+        # unknown-preset flood: every one a clean 400, none enqueued
+        for i in range(20):
+            post_expect_400(image=im, mask=m, preset=f"nope-{i}")
+        assert server.stats_snapshot()["queue_depth"] == 0
+        # the server is still healthy for real work
+        resp = _http_post(port, im, m, seed=3)
+        data = np.load(io.BytesIO(resp.read()))
+        keep = m[..., 0] < 0.5
+        np.testing.assert_array_equal(data["image"][keep], im[keep])
+    finally:
+        httpd.shutdown()
+        server.close()
+
+
+def test_drain_under_concurrent_submissions_and_preset_churn(pipeline):
+    """close(drain_s) while clients keep submitting mixed presets: no
+    hang; every accepted future settles (result or shutdown error)."""
+    fast = SamplerConfig(method="ddim", num_steps=2, eta=1.0, injection=True)
+    server = InpaintingServer(pipeline, batch_size=2, max_wait_ms=1.0,
+                              presets={"final": TINY.sampler, "fast": fast})
+    im, m = _sample_input(12)
+    futs = []
+    lock = threading.Lock()
+    stop = threading.Event()
+
+    def client(tid):
+        i = 0
+        while not stop.is_set() and i < 30:
+            try:
+                f = server.submit(im, m, seed=tid * 100 + i,
+                                  preset=("fast", "final")[i % 2])
+                with lock:
+                    futs.append(f)
+            except Exception:
+                pass
+            i += 1
+    threads = [threading.Thread(target=client, args=(t,)) for t in range(3)]
+    for t in threads:
+        t.start()
+    server.close(drain_s=30.0)
+    stop.set()
+    for t in threads:
+        t.join(timeout=60)
+        assert not t.is_alive()
+    settled = 0
+    for f in futs:
+        try:
+            out = f.result(timeout=60)
+            keep = m[..., 0] < 0.5
+            np.testing.assert_array_equal(out[keep], im[keep])
+        except RuntimeError:
+            pass  # "server shutting down" — an accepted, explicit error
+        settled += 1
+    assert settled == len(futs)
