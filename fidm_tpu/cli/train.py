@@ -69,6 +69,10 @@ def parse_args(argv=None):
                    help="training parameterization (the reference factory's "
                         "predict_xstart flag; velocity = v-prediction)")
     p.add_argument("--early_stopping_patience", type=int, default=0)
+    p.add_argument("--threaded_loader", action="store_true",
+                   help="decode/stack batches on a background thread "
+                        "(raw-directory datasets on multi-core hosts; "
+                        "identical batch content)")
     p.add_argument("--keep_last_n", type=int, default=3)
     p.add_argument("--async_checkpoint", action="store_true",
                    help="commit rotating checkpoints on Orbax's background "
@@ -266,7 +270,8 @@ def main(argv=None):
             # checkpoint rotation lives on CheckpointManager (constructed
             # above with --keep_last_n), not here
             FitConfig(num_epochs=args.num_epochs,
-                      early_stopping_patience=args.early_stopping_patience),
+                      early_stopping_patience=args.early_stopping_patience,
+                      threaded_loader=args.threaded_loader),
             checkpoint_manager=ckpt, mesh=mesh, start_epoch=start_epoch,
             metadata=meta,
         )

@@ -61,19 +61,29 @@ class GracefulShutdown:
         return False
 
 
-def _device_batches(loader, mesh):
-    from ..data.prefetch import device_prefetch
+def _device_batches(loader, mesh, threaded: bool = False):
+    from ..data.prefetch import ThreadedLoader, device_prefetch
 
     sharding = batch_sharding(mesh) if mesh is not None else None
     keys = ("image", "masked_image", "mask", "label")
-    arrays_only = (
-        {k: b[k] for k in keys if k in b} for b in loader
-    )
-    return device_prefetch(arrays_only, size=2, sharding=sharding)
+
+    def gen():
+        for b in loader:
+            yield {k: b[k] for k in keys if k in b}
+
+    # threaded=True moves the loader's CPU work (PIL decode, mask raster,
+    # stacking) onto a background thread so the dispatch thread never
+    # waits on it — the raw-directory feed-rate fix for multi-core hosts
+    # (packed shards remain the recommended path; on a 1-core host this
+    # only adds queue hops). Batch CONTENT is identical either way
+    # (tests/test_training.py::test_threaded_loader_identical_results).
+    src = ThreadedLoader(gen, queue_size=4) if threaded else gen()
+    return device_prefetch(src, size=2, sharding=sharding)
 
 
 def train_epoch(state, train_step, loader, key, mesh=None, log_every=50,
-                log_fn=print, should_stop: Optional[Callable] = None):
+                log_fn=print, should_stop: Optional[Callable] = None,
+                threaded: bool = False):
     """One epoch; returns (state, mean_loss). Loss is fetched asynchronously
     (only the final mean forces a sync, unlike the reference's per-step
     `loss.item()` at `train_inpainting.py:68`). `should_stop()` is checked
@@ -81,7 +91,7 @@ def train_epoch(state, train_step, loader, key, mesh=None, log_every=50,
     losses = []
     start = time.time()
     n = 0
-    for batch in _device_batches(loader, mesh):
+    for batch in _device_batches(loader, mesh, threaded):
         state, metrics = train_step(state, batch, key)
         losses.append(metrics["loss"])
         n += 1
@@ -96,10 +106,10 @@ def train_epoch(state, train_step, loader, key, mesh=None, log_every=50,
     return state, mean_loss
 
 
-def validate(state, eval_step, loader, key, mesh=None):
+def validate(state, eval_step, loader, key, mesh=None, threaded: bool = False):
     """Validation mean loss (`train_inpainting.py:82-131`)."""
     losses = []
-    for i, batch in enumerate(_device_batches(loader, mesh)):
+    for i, batch in enumerate(_device_batches(loader, mesh, threaded)):
         losses.append(eval_step(state, batch, jax.random.fold_in(key, i))["loss"])
     return float(np.mean(jax.device_get(losses))) if losses else float("nan")
 
@@ -112,6 +122,9 @@ class FitConfig:
     log_fn: Callable = print
     # catch SIGTERM/SIGINT, checkpoint, and return cleanly (TPU preemption)
     handle_preemption: bool = True
+    # decode/stack batches on a background thread (ThreadedLoader) — for
+    # raw-directory datasets on multi-core hosts; identical batch content
+    threaded_loader: bool = False
 
 
 def fit(
@@ -151,6 +164,7 @@ def fit(
             state, train_loss = train_epoch(
                 state, train_step, train_loader, ekey, mesh, log_fn=cfg.log_fn,
                 should_stop=(lambda: shutdown.requested) if shutdown else None,
+                threaded=cfg.threaded_loader,
             )
             if shutdown is not None and shutdown.requested:
                 cfg.log_fn(
@@ -176,7 +190,8 @@ def fit(
                     checkpoint_manager.save(epoch, state, metadata=meta)
                 break
             val_loss = validate(state, eval_step, val_loader,
-                                jax.random.fold_in(ekey, 10_000), mesh)
+                                jax.random.fold_in(ekey, 10_000), mesh,
+                                threaded=cfg.threaded_loader)
             dt = time.time() - t0
             history.append(
                 {"epoch": epoch, "train_loss": train_loss, "val_loss": val_loss,

@@ -553,3 +553,31 @@ def test_best_marker_carries_full_metadata(tmp_path):
     assert meta["mean_type"] == "velocity"
     assert meta["val_loss"] == 1.0
     mgr.close()
+
+
+def test_threaded_loader_identical_results():
+    """FitConfig(threaded_loader=True) must change WHERE batches are decoded
+    (a background thread), never WHAT trains: identical params and history
+    vs the inline path on the same loaders/keys (round-3 verdict #6)."""
+    from fidm_tpu.training import FitConfig, fit, make_eval_step
+
+    batches = [_batch(jax.random.PRNGKey(i)) for i in range(4)]
+
+    def run(threaded):
+        _, state = _make_state()
+        step = make_train_step(SCHED, donate=False)
+        return fit(
+            state, step, make_eval_step(SCHED), batches, batches[:1],
+            jax.random.PRNGKey(0),
+            FitConfig(num_epochs=2, log_fn=lambda *a: None,
+                      handle_preemption=False, threaded_loader=threaded),
+        )
+
+    s0, h0 = run(False)
+    s1, h1 = run(True)
+    assert [(h["train_loss"], h["val_loss"]) for h in h0] == \
+           [(h["train_loss"], h["val_loss"]) for h in h1]
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a),
+                                                   np.asarray(b)),
+        s0.params, s1.params)
