@@ -68,7 +68,7 @@ def main():
     for K in (8, 12, 25):
         for method, eta in (("ddim", 0.0), ("ddim", 0.9),
                             ("dpm++2m", 0.0), ("dpm++2m-sde", 0.0),
-                            ("dpm++3m", 0.0)):
+                            ("dpm++3m", 0.0), ("unipc", 0.0)):
             for spacing in ("uniform", "trailing", "lambda", "karras"):
                 cfg = SamplerConfig(method=method, num_steps=K, eta=eta,
                                     injection=True, time_spacing=spacing)
