@@ -122,6 +122,11 @@ def main():
     p.add_argument("--timeout_ms", type=float, default=None,
                    help="per-request deadline for --overload (default: "
                         "8x the single-request warm latency)")
+    p.add_argument("--instrument", action="store_true",
+                   help="fence + time every dispatcher phase (assemble/"
+                        "upload/dispatch/execute/download) — serializes "
+                        "launches; for overhead attribution, not peak "
+                        "throughput")
     args = p.parse_args()
 
     import jax
@@ -169,7 +174,8 @@ def main():
 
     server = InpaintingServer(
         pipe, batch_size=args.batch_size, presets=presets,
-        max_queue=2 * args.batch_size if args.overload else None)
+        max_queue=2 * args.batch_size if args.overload else None,
+        instrument=args.instrument)
     print(f"warming batch shapes {server.batch_sizes}...", flush=True)
     server.warmup()  # compile the whole shape ladder before measuring
     httpd = ThreadingHTTPServer(("127.0.0.1", args.port),
@@ -243,6 +249,11 @@ def main():
                             for k, v in
                             server.stats["batches_by_size"].items() if v},
     }
+    phases = server.stats_snapshot().get("phases_ms", {})
+    if phases:
+        result["phase_mean_ms"] = {
+            k: round(v["ms"] / max(v["n"], 1), 2) for k, v in phases.items()
+        }
     if presets:
         result["per_tier_p50_s"] = {
             str(name): round(float(np.sort(v)[len(v) // 2]), 3)
