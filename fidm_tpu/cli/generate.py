@@ -46,9 +46,10 @@ def parse_args(argv=None):
                    default=[16])
     p.add_argument("--method", default="ddpm",
                    choices=["ddpm", "ddim", "dpm++2m", "dpm++3m",
-                            "consistency"],
-                   help="dpm++3m: third-order solver — its sweet spot is "
-                        "unconditional generation (docs/TUNING.md 2b); "
+                            "unipc", "consistency"],
+                   help="dpm++3m/unipc: higher-order solvers — their sweet "
+                        "spot is unconditional generation (docs/TUNING.md "
+                        "2b/2b'); "
                         "consistency: 1-2 step sampling from a "
                         "consistency-trained/distilled model (defaults to "
                         "2 steps; pair with --mean_type velocity)")
