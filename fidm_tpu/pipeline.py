@@ -45,20 +45,33 @@ SAMPLER_PRESETS = {
     # test_inpainting_better.py flagship defaults: DDIM-100, eta 0.9
     "ddim-100": SamplerConfig(method="ddim", num_steps=100, eta=0.9,
                               injection=True),
-    # quality-qualified fast flagship: DeepCache deep-trunk (cache_branch=1,
-    # period 3, exact tail) — 0.181 s/sample at 256^2 (18.9x the reference's
-    # DDIM-100) for -0.85 dB hole-PSNR on the toy protocol; measured frontier
-    # in BENCH.md "Feature-reuse caching". Strictly dominates encoder-mode
-    # caching (faster AND closer to exact at the same period).
+    # quality-qualified fast flagship, RE-KEYED at canonical depth (round-4
+    # 6-level study, examples/canonical_frontier.py): branch 2 / period 3 /
+    # tail 10 costs only -0.28 dB (box) / -0.39 dB (brush) hole-PSNR vs
+    # exact DDIM-100 on the trained 6-level model. The 3-level toy's
+    # frontier (branch 1, -0.85 dB) does NOT transfer: at true depth
+    # branch 1 measures -1.9 to -2.3 dB, and encoder-mode caching (b=0)
+    # collapses by -5.8 to -6.5 dB. Measured table in BENCH.md
+    # "Feature-reuse caching (canonical depth)".
     "ddim-100-deep": SamplerConfig(method="ddim", num_steps=100, eta=0.9,
                                    injection=True, encoder_cache_period=3,
-                                   cache_branch=1, encoder_cache_tail=10),
+                                   cache_branch=2, encoder_cache_tail=10),
+    # speed-first variant: branch 1, no exact tail (the tail buys no
+    # quality at canonical depth — t=10 and t=0 measured identical) —
+    # 1.40x exact at -1.9 to -2.3 dB hole-PSNR. For previews and drafts.
+    "ddim-100-turbo": SamplerConfig(method="ddim", num_steps=100, eta=0.9,
+                                    injection=True, encoder_cache_period=3,
+                                    cache_branch=1),
     "ddim-100-det": SamplerConfig(method="ddim", num_steps=100, eta=0.0,
                                   injection=True),
     # test_quant.py "fast mode" preset (apply_speed_optimizations, :758-778:
-    # DDIM-20), plus our encoder-feature reuse for further speed
+    # DDIM-20), plus deep-trunk reuse — RE-KEYED at canonical depth: the
+    # old encoder-mode cache (b=0 p=2) measured -4.9 to -5.2 dB and was
+    # SLOWER than branch 1; b=1 p=2 tail=4 is 1.19x exact at -1.3 dB
+    # (examples/canonical_frontier.py)
     "ddim-20-fast": SamplerConfig(method="ddim", num_steps=20, eta=0.9,
-                                  injection=True, encoder_cache_period=2),
+                                  injection=True, encoder_cache_period=2,
+                                  cache_branch=1, encoder_cache_tail=4),
     # DPM-Solver++(2M): second-order ODE solver — DDIM-100-level integrator
     # accuracy at ~4x fewer model evaluations (no reference equivalent; its
     # only acceleration is first-order step subsetting)
@@ -69,8 +82,12 @@ SAMPLER_PRESETS = {
     # reference's preferred eta=0.9 sampling for inpainting harmonization
     "dpm-25-sde": SamplerConfig(method="dpm++2m-sde", num_steps=25,
                                 injection=True),
+    # deep-trunk (b=1) like ddim-20-fast: encoder-mode caching collapses
+    # at canonical depth (the DDIM-20 measurement; the cache mechanics are
+    # method-independent)
     "dpm-20-fast": SamplerConfig(method="dpm++2m", num_steps=20,
-                                 injection=True, encoder_cache_period=2),
+                                 injection=True, encoder_cache_period=2,
+                                 cache_branch=1, encoder_cache_tail=4),
     # third-order multistep (diffusers' solver_order=3): tighter ODE
     # tracking at very few steps for smooth well-trained models; order
     # warmup 1->2->3 and a first-order final step (sampler._dpm3m_tables)
