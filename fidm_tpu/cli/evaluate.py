@@ -68,7 +68,7 @@ def parse_args(argv=None):
     p.add_argument("--injection_schedule", default="all",
                    choices=["all", "high", "low"])
     p.add_argument("--mean_type", default=None,
-                   choices=["epsilon", "xstart", "velocity"],
+                   choices=["epsilon", "xstart", "velocity", "xprev"],
                    help="model output parameterization (the reference "
                         "factory's predict_xstart flag, "
                         "utils/schedules.py:69-106; velocity = distilled "

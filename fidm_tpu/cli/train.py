@@ -65,9 +65,10 @@ def parse_args(argv=None):
     p.add_argument("--snr_gamma", type=float, default=None,
                    help="min_snr clamp / p2 exponent (defaults: 5.0 / 1.0)")
     p.add_argument("--mean_type", default="epsilon",
-                   choices=["epsilon", "xstart", "velocity"],
+                   choices=["epsilon", "xstart", "velocity", "xprev"],
                    help="training parameterization (the reference factory's "
-                        "predict_xstart flag; velocity = v-prediction)")
+                        "predict_xstart flag; velocity = v-prediction; "
+                        "xprev = posterior-mean target, losses.py:72)")
     p.add_argument("--early_stopping_patience", type=int, default=0)
     p.add_argument("--threaded_loader", action="store_true",
                    help="decode/stack batches on a background thread "
