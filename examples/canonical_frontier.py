@@ -5,8 +5,9 @@ branch indices map to the 6-level FFHQ architecture only approximately
 (BENCH.md caveat). This study closes that gap without pretrained artifacts:
 it trains a 6-level, reduced-width UNet (the exact canonical topology of
 reference `train_inpainting.py:208-224` — channel_mult=(1,1,2,2,4,4),
-attn@ds16, resblock up/down, scale-shift norm — at model_channels=48
-instead of 128) from scratch at 256^2 on procedurally generated
+attn@ds16, resblock up/down, scale-shift norm — at model_channels=64
+instead of 128; --width overrides) from scratch at 256^2 on procedurally
+generated
 synthetic faces + procedural masks, ON the TPU, then re-measures:
 
   1. the DeepCache frontier (encoder-mode b=0 vs deep-trunk b=1/b=2 vs
@@ -265,7 +266,8 @@ def main():
     base = SamplerConfig(method="ddim", num_steps=K_MAIN, eta=0.9,
                          injection=True)
     # the caching grid: (branch, period, tail); branch 0=encoder,
-    # -1=output-reuse, 1/2=deep trunk. ddim-100-deep ships (1, 3, 10).
+    # -1=output-reuse, 1/2=deep trunk. This study's result re-keyed
+    # ddim-100-deep to (2, 3, 10); (1, 3, *) is the superseded round-3 pick.
     grid = [(1, 3, 10), (1, 5, 10), (1, 2, 10),
             (2, 3, 10), (0, 3, 10), (-1, 3, 10), (1, 3, 0)]
     if args.smoke:

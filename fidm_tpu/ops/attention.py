@@ -9,7 +9,15 @@ dtype (`nn.py:233`), and the result is cast back to the input dtype.
 Shapes are token-major NHWC-style: q, k, v are [B, H, S, D] (batch, heads,
 sequence, head_dim). At the reference architecture's attention sites the
 sequence is tiny (256 tokens at 16x16, 64 at 8x8), so the fused kernel keeps
-the whole S x S score matrix in VMEM in one block per (batch, head).
+the whole S x S score matrix in VMEM in one block per (batch, head). That
+single-block design has a hard ceiling: the f32 score matrix is S^2 * 4
+bytes of scoped VMEM, and past ~S=1700 it exceeds the ~16 MiB scoped-vmem
+limit and the kernel fails AT COMPILE TIME (measured: S=4096 — the 64x64
+attention level of a 1024^2 model — asks for 64 MiB and Mosaic aborts).
+`qkv_attention` therefore estimates the kernel's VMEM footprint and
+dispatches long sequences to the XLA path, which tiles the softmax-matmul
+chain itself; S=1024 (the 512^2 model's attention level, 9 MiB) stays on
+the kernel and is measured working.
 """
 from __future__ import annotations
 
@@ -102,8 +110,25 @@ def _attention_diff_bwd(interpret, res, g):
 _attention_pallas_diff.defvjp(_attention_diff_fwd, _attention_diff_bwd)
 
 
+# Scoped-VMEM budget for the single-block kernel. The hardware limit is
+# 16 MiB (the Mosaic "scoped vmem" stack); 12 MiB leaves headroom for the
+# compiler's own temporaries. Known-good anchor: S=1024/D=64 (the 512^2
+# model) estimates 9 MiB and compiles+runs; S=4096 estimates 132 MiB and
+# is exactly the measured compile-time OOM (examples/resolution_1024.py).
+_VMEM_BUDGET_BYTES = 12 * 1024 * 1024
+
+
+def _kernel_vmem_bytes(s: int, d: int) -> int:
+    """Estimated scoped-VMEM footprint of one (batch, head) kernel block:
+    f32 copies of q/k/v/o ([S, D] each) plus the score and prob matrices
+    ([S, S] f32 — the dominant term, quadratic in sequence length)."""
+    return 4 * (4 * s * d + 2 * s * s)
+
+
 def qkv_attention(q, k, v):
     """Multi-head attention over [B, H, S, D] tensors."""
-    if use_pallas("attention") and q.shape[-1] % 64 == 0 and q.shape[-2] % 8 == 0:
+    s, d = q.shape[-2], q.shape[-1]
+    if (use_pallas("attention") and d % 64 == 0 and s % 8 == 0
+            and _kernel_vmem_bytes(s, d) <= _VMEM_BUDGET_BYTES):
         return _attention_pallas_diff(q, k, v, False)
     return _attention_reference(q, k, v)

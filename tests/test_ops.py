@@ -84,3 +84,31 @@ def test_qkv_attention_dispatch_cpu_uses_fallback():
     q = jax.random.normal(jax.random.PRNGKey(0), (1, 2, 8, 64))
     out = qkv_attention(q, q, q)
     assert out.shape == q.shape
+
+
+def test_long_sequence_dispatches_to_xla(monkeypatch):
+    """Seq 4096 (the 64x64 attention level of a 1024^2 model) must NOT take
+    the single-block Pallas kernel: its f32 score matrix alone is 64 MiB of
+    scoped VMEM vs the 16 MiB hardware limit — a measured COMPILE-TIME
+    failure on the chip (examples/resolution_1024.py). The dispatch
+    estimates the footprint and falls back to the XLA path."""
+    from fidm_tpu.ops import attention as A
+
+    def boom(*a, **k):
+        raise AssertionError("Pallas kernel taken for a VMEM-oversized seq")
+
+    monkeypatch.setattr(A, "_attention_pallas_diff", boom)
+    set_use_pallas(True, op="attention")  # force-enable even on CPU
+    try:
+        q = jax.random.normal(jax.random.PRNGKey(0), (1, 1, 4096, 64),
+                              jnp.bfloat16)
+        out = qkv_attention(q, q, q)  # must ride _attention_reference
+        assert out.shape == q.shape
+        # the known-good anchor stays on the kernel: S=1024/D=64 is 9 MiB
+        # (the 512^2 model's attention level, measured working on-chip)
+        from fidm_tpu.ops.attention import _kernel_vmem_bytes, _VMEM_BUDGET_BYTES
+
+        assert _kernel_vmem_bytes(1024, 64) <= _VMEM_BUDGET_BYTES
+        assert _kernel_vmem_bytes(4096, 64) > _VMEM_BUDGET_BYTES
+    finally:
+        set_use_pallas(None, op="attention")
