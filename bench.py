@@ -18,6 +18,16 @@ periodic gate), FIDM_BENCH_JUMP_LEN / FIDM_BENCH_JUMP_N (repaint
 time-travel parameters). The default headline is the quality-qualified
 `ddim-100-deep` preset; when caching is on, the cache-free exact time is
 measured in the same run and reported as exact_time_per_sample_s.
+
+Cold-cache contract (round-5 fix for the r04 rc=124 timeout): the headline
+JSON line is printed+flushed IMMEDIATELY after the first timed measurement,
+BEFORE the exact-anchor leg compiles its second program; the exact leg only
+runs if elapsed wall-clock is under FIDM_BENCH_BUDGET_S (default 1500 s),
+and when it runs, re-prints the augmented line last (drivers tail-parse).
+So a fully cold cache costs exactly ONE sampler-program compile (~10-15 min
+through the tunnel) before a parseable line exists. Rehearsal (run after
+any preset re-key): `rm -rf /tmp/fidm_jax_cache && timeout 1800 python
+bench.py` must print the headline line.
 """
 import dataclasses
 import json
@@ -30,6 +40,13 @@ import numpy as np
 
 jax.config.update("jax_compilation_cache_dir", "/tmp/fidm_jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+
+# Smoke/test mode: FIDM_BENCH_PLATFORM=cpu pins the backend before init
+# (the axon sitecustomize ignores the JAX_PLATFORMS env var), and
+# FIDM_BENCH_WIDTH shrinks the model so tests/test_bench_contract.py can
+# exercise the emit-early contract in seconds instead of minutes.
+if os.environ.get("FIDM_BENCH_PLATFORM"):
+    jax.config.update("jax_platforms", os.environ["FIDM_BENCH_PLATFORM"])
 
 # Reference time/sample for each published config (BASELINE.md; reference
 # README.md:75-77). Other (method, steps) combos fall back to DDIM-100.
@@ -44,6 +61,15 @@ BASELINE_TIME_PER_SAMPLE = BASELINES[("ddim", 100)]
 def main():
     from fidm_tpu.pipeline import InpaintingPipeline, PipelineConfig
     from fidm_tpu.sampling import SamplerConfig
+
+    # Wall-clock budget for OPTIONAL extra legs (the exact-sampling anchor).
+    # Under a fully cold compile cache each sampler program costs ~10-15 min
+    # through the remote-compile tunnel; the headline leg is compiled and
+    # measured FIRST and its JSON line is printed+flushed IMMEDIATELY, so an
+    # external timeout mid-exact-leg still leaves a parseable (tail) line.
+    # The exact leg only runs if enough budget remains.
+    bench_start = time.perf_counter()
+    budget_s = float(os.environ.get("FIDM_BENCH_BUDGET_S", "1500"))
 
     batch = int(os.environ.get("FIDM_BENCH_BATCH", "16"))
     repeats = int(os.environ.get("FIDM_BENCH_REPEATS", "3"))
@@ -71,11 +97,14 @@ def main():
 
     from fidm_tpu.models import ffhq256_config
 
+    unet_overrides = dict(
+        split_decoder_skips=os.environ.get("FIDM_BENCH_SPLIT_SKIPS") == "1",
+        image_size=int(os.environ.get("FIDM_BENCH_IMAGE_SIZE", "256")),
+    )
+    if os.environ.get("FIDM_BENCH_WIDTH"):
+        unet_overrides["model_channels"] = int(os.environ["FIDM_BENCH_WIDTH"])
     cfg = PipelineConfig(
-        unet=ffhq256_config(
-            split_decoder_skips=os.environ.get("FIDM_BENCH_SPLIT_SKIPS") == "1",
-            image_size=int(os.environ.get("FIDM_BENCH_IMAGE_SIZE", "256")),
-        ),
+        unet=ffhq256_config(**unet_overrides),
         sampler=SamplerConfig(
             method=method,
             num_steps=None if (method == "ddpm" and steps >= 1000) else steps,
@@ -160,6 +189,19 @@ def main():
                 result["hole_psnr_delta_db_canonical"] = -0.28
             elif (enc_cache, cache_branch) == (3, 1):
                 result["hole_psnr_delta_db_canonical"] = -2.32
+
+    # Emit the headline line NOW — the driver tail-parses the last printed
+    # line, and any extra leg below may cost a second cold compile.
+    print(json.dumps(result), flush=True)
+
+    if enc_cache > 1:
+        elapsed = time.perf_counter() - bench_start
+        if elapsed > budget_s:
+            import sys
+            print(f"bench: skipping exact-anchor leg (elapsed {elapsed:.0f}s "
+                  f"> budget {budget_s:.0f}s — likely a cold compile cache)",
+                  file=sys.stderr, flush=True)
+            return
         # exact sampling measured in the same run, same inputs — the
         # cache-free anchor the speedup is claimed against
         exact = dataclasses.replace(cfg.sampler, encoder_cache_period=1,
@@ -176,7 +218,9 @@ def main():
         assert np.isfinite(float(acc))
         result["exact_time_per_sample_s"] = round(
             (time.perf_counter() - t0) / (repeats * batch), 4)
-    print(json.dumps(result))
+        # Augmented line printed LAST — tail-parse picks this up when the
+        # exact leg completed in budget.
+        print(json.dumps(result), flush=True)
 
 
 def _main_with_retries(attempts: int = 3, wait_s: float = 120.0):

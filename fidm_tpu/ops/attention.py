@@ -10,14 +10,17 @@ Shapes are token-major NHWC-style: q, k, v are [B, H, S, D] (batch, heads,
 sequence, head_dim). At the reference architecture's attention sites the
 sequence is tiny (256 tokens at 16x16, 64 at 8x8), so the fused kernel keeps
 the whole S x S score matrix in VMEM in one block per (batch, head). That
-single-block design has a hard ceiling: the f32 score matrix is S^2 * 4
-bytes of scoped VMEM, and past ~S=1700 it exceeds the ~16 MiB scoped-vmem
-limit and the kernel fails AT COMPILE TIME (measured: S=4096 — the 64x64
-attention level of a 1024^2 model — asks for 64 MiB and Mosaic aborts).
-`qkv_attention` therefore estimates the kernel's VMEM footprint and
-dispatches long sequences to the XLA path, which tiles the softmax-matmul
-chain itself; S=1024 (the 512^2 model's attention level, 9 MiB) stays on
-the kernel and is measured working.
+single-block design has a hard ceiling: `_kernel_vmem_bytes` estimates the
+block's scoped-VMEM footprint (f32 q/k/v/o plus the two S x S f32
+score/prob matrices — the quadratic term dominates) and `qkv_attention`
+dispatches any sequence whose estimate exceeds `_VMEM_BUDGET_BYTES`
+(12 MiB) to the XLA path, which tiles the softmax-matmul chain itself.
+Under that estimator the effective kernel cutoff at D=64 is S <= 1184
+(12.4 MiB; the next multiple of 8 estimates 12.6 MiB and is diverted).
+Measured anchors: S=1024/D=64 (the 512^2 model's attention level,
+9 MiB estimated) compiles and runs on the kernel; S=4096 (the 64x64 level
+of a 1024^2 model, 132 MiB estimated — 128 MiB of that the two score
+matrices) fails AT COMPILE TIME on the ~16 MiB Mosaic scoped-vmem limit.
 """
 from __future__ import annotations
 
@@ -112,16 +115,26 @@ _attention_pallas_diff.defvjp(_attention_diff_fwd, _attention_diff_bwd)
 
 # Scoped-VMEM budget for the single-block kernel. The hardware limit is
 # 16 MiB (the Mosaic "scoped vmem" stack); 12 MiB leaves headroom for the
-# compiler's own temporaries. Known-good anchor: S=1024/D=64 (the 512^2
-# model) estimates 9 MiB and compiles+runs; S=4096 estimates 132 MiB and
-# is exactly the measured compile-time OOM (examples/resolution_1024.py).
+# compiler's own temporaries, giving an effective dispatch cutoff of
+# S <= 1184 at D=64 (see module docstring). Measured anchors:
+# S=1024/D=64 (the 512^2 model) estimates 9 MiB and compiles+runs;
+# S=4096 estimates 132 MiB and is exactly the measured compile-time OOM
+# (examples/resolution_1024.py).
 _VMEM_BUDGET_BYTES = 12 * 1024 * 1024
 
 
 def _kernel_vmem_bytes(s: int, d: int) -> int:
     """Estimated scoped-VMEM footprint of one (batch, head) kernel block:
     f32 copies of q/k/v/o ([S, D] each) plus the score and prob matrices
-    ([S, S] f32 — the dominant term, quadratic in sequence length)."""
+    ([S, S] f32 — the dominant term, quadratic in sequence length).
+
+    This is a HEURISTIC, not Mosaic's real allocation: the BlockSpec stages
+    inputs at their input dtype (often bf16) and the f32 casts / softmax
+    intermediates (max, exp) are compiler temporaries the formula can only
+    approximate. It is anchored to two measured points — S=1024 works,
+    S=4096 OOMs at compile time — and deliberately conservative in
+    between; re-validate the anchors before trusting it on new
+    shape/dtype regimes."""
     return 4 * (4 * s * d + 2 * s * s)
 
 
