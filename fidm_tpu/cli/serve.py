@@ -68,6 +68,14 @@ def parse_args(argv=None):
                         "cost (docs/TUNING.md 3b; clients select it with "
                         "preset='refine' and send their composite as "
                         "'image')")
+    p.add_argument("--output_dtype", choices=["float32", "uint8"],
+                   default="float32",
+                   help="response image dtype, applied to every preset. "
+                        "uint8 quantizes [-1,1] -> [0,255] INSIDE the "
+                        "compiled program (reference toU8 semantics) — the "
+                        "device->host result transfer and the response "
+                        "payload both shrink 4x, which on tunneled/remote "
+                        "hosts is most of the fast-tier latency")
     p.add_argument("--image_size", type=int, default=256)
     p.add_argument("--schedule", default="quadratic")
     p.add_argument("--diffusion_steps", type=int, default=1000)
@@ -107,6 +115,9 @@ def build_presets(args):
                 f"--refine_tier needs a ddim/ddpm/dpm default preset, not "
                 f"{base.method!r}")
         presets["refine"] = dataclasses.replace(base, strength=s)
+    if getattr(args, "output_dtype", "float32") != "float32":
+        presets = {n: dataclasses.replace(c, output_dtype=args.output_dtype)
+                   for n, c in presets.items()}
     return presets
 
 

@@ -14,7 +14,12 @@ Protocol (POST /inpaint):
         SAME deployment and weights).
   response: npz with `image` [H,W,3] — the inpainted result — and `seed`,
         the seed that produced it (explicit or server-assigned): replaying
-        (image, mask, seed, preset) reproduces the exact pixels.
+        (image, mask, seed, preset) reproduces the exact pixels. The image
+        dtype follows the preset's SamplerConfig.output_dtype: float32 in
+        [-1,1] (default), or uint8 in [0,255] (reference toU8 semantics,
+        quantized ON DEVICE inside the compiled program — the result
+        download, the dominant serving phase on tunneled hosts, and the
+        response payload both shrink 4x).
 GET /healthz returns {"status": "ok", "batch_size": N, "presets": [...]}.
 
 Design: request threads enqueue (arrays, Future); a single dispatcher thread
@@ -134,6 +139,14 @@ class InpaintingServer:
                     f"preset {name!r} sets trajectory_every="
                     f"{cfg.trajectory_every}; trajectory emission is not "
                     "servable (use the pipeline API for debugging runs)")
+            if getattr(cfg, "output_dtype", "float32") not in ("float32",
+                                                               "uint8"):
+                # reject at construction instead of as a 500 at first
+                # request (the invalid value would only surface inside
+                # the jit trace)
+                raise ValueError(
+                    f"preset {name!r}: output_dtype must be 'float32' or "
+                    f"'uint8', got {cfg.output_dtype!r}")
         self.presets = dict(presets)
         self.default_preset = next(iter(self.presets))
         self.program_cache_dir = program_cache_dir
