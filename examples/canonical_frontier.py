@@ -122,6 +122,56 @@ def brush_bank(S, n, seed=7, coverage=(0.15, 0.5)):
     return jnp.asarray(bank.reshape(n, S, S, 1) > 0.5, jnp.float32)
 
 
+# ---------------------------------------------------------------- metrics
+def make_quality_fns(gt):
+    """Hole-region quality scorer: PSNR + SSIM + LPIPS-proxy per config.
+
+    Round-5 addition (VERDICT weak #5): every preset decision was keyed on
+    hole-PSNR alone, which favors the blur/averaging that caching and
+    deterministic solvers produce; the reference itself reports LPIPS/SSIM
+    alongside FID (README.md:73-77). SSIM is weight-free and exact
+    (skimage semantics, fidm_tpu.metrics.ssim). LPIPS uses seeded random
+    AlexNet filters (`LPIPS(weights=None)`) because this environment has
+    no pretrained weights — a PROXY valid for RELATIVE ranking between
+    configs on the same data only, never for absolute comparisons.
+
+    PSNR/SSIM reduce on device (scalar readback through the tunnel);
+    LPIPS-proxy reads back one [B] vector per call (tiny).
+    """
+    from fidm_tpu.metrics import LPIPS, masked_ssim
+
+    gt01 = (gt + 1) / 2
+    lp = LPIPS(weights=None)
+
+    @jax.jit
+    def _psnr_ssim(out, hole):
+        out01 = (jnp.clip(out, -1, 1) + 1) / 2
+        mse = (((out01 - gt01) ** 2) * hole).sum() / (hole.sum() * 3)
+        sv = masked_ssim(gt01, out01, hole).mean()
+        return mse, sv
+
+    def score(out, hole):
+        mse, sv = _psnr_ssim(out, hole)
+        lpv = float(np.mean(lp.masked(gt, jnp.clip(out, -1, 1), hole)))
+        return {
+            "hole_psnr_db": round(10 * float(np.log10(1.0 / float(mse))), 2),
+            "hole_ssim": round(float(sv), 4),
+            "hole_lpips_proxy": round(lpv, 4),
+        }
+
+    return score
+
+
+def add_deltas(row, anchor):
+    """delta_* columns vs an anchor row (PSNR/SSIM up = better; LPIPS
+    down = better, so its delta is negated to keep 'positive = better')."""
+    row["delta_db"] = round(row["hole_psnr_db"] - anchor["hole_psnr_db"], 2)
+    row["delta_ssim"] = round(row["hole_ssim"] - anchor["hole_ssim"], 4)
+    row["delta_lpips_proxy"] = round(
+        anchor["hole_lpips_proxy"] - row["hole_lpips_proxy"], 4)
+    return row
+
+
 # ---------------------------------------------------------------- training
 def train_canonical(cfg, sched, steps, batch, cache_path, lr=2e-4):
     import pickle
@@ -194,6 +244,12 @@ def main():
     p.add_argument("--steps", type=int, default=6000)
     p.add_argument("--batch", type=int, default=16)
     p.add_argument("--width", type=int, default=64)
+    p.add_argument("--presets_only", action="store_true",
+                   help="re-qualification mode: only the shipped presets + "
+                        "their nearest alternatives + exact anchors, and no "
+                        "refine-knee sweep — 7 compiled programs instead of "
+                        "16 (at width 128 every program is a ~10-15 min "
+                        "tunnel compile)")
     args = p.parse_args()
 
     if args.smoke:
@@ -228,21 +284,11 @@ def main():
         "box": make_box_masks(jax.random.PRNGKey(555), n_eval, S),
         "brush": brush_bank(S, n_eval, seed=123, coverage=(0.25, 0.45)),
     }
-    gt01 = (gt + 1) / 2
     key = jax.random.PRNGKey(7)
-
-    # device-side hole-MSE reduction: only a SCALAR crosses the tunnel
-    # (a full [16,256,256,3] readback through the tunnel takes minutes)
-    @jax.jit
-    def hole_mse(out, hole):
-        out01 = (jnp.clip(out, -1, 1) + 1) / 2
-        return (((out01 - gt01) ** 2) * hole).sum() / (hole.sum() * 3)
-
-    def hole_psnr(out, hole):
-        return 10 * np.log10(1.0 / float(hole_mse(out, hole)))
+    score = make_quality_fns(gt)
 
     def run(cfg_s, mask, x=None, rkey=None):
-        """(hole_psnr_db, seconds_per_sample, out) — 2nd call timed."""
+        """(metrics_dict, seconds_per_sample, out) — 2nd call timed."""
         g = gt if x is None else x
         k = key if rkey is None else rkey
         out = pipe.inpaint(g, mask, k, sampler=cfg_s)
@@ -251,11 +297,11 @@ def main():
         out = pipe.inpaint(g, mask, k, sampler=cfg_s)
         float(jnp.sum(out[0, :2, :2]))  # sync
         dt = time.perf_counter() - t0
-        return hole_psnr(out, mask), dt / gt.shape[0], out
+        return score(out, mask), dt / gt.shape[0], out
 
     results = {"width": args.width, "steps": steps, "S": S, "rows": []}
     out_path = ("/tmp/canonical_frontier_smoke.json" if args.smoke
-                else "/tmp/canonical_frontier.json")
+                else f"/tmp/canonical_frontier_w{args.width}.json")
 
     def emit(row):
         results["rows"].append(row)
@@ -270,23 +316,25 @@ def main():
     # ddim-100-deep to (2, 3, 10); (1, 3, *) is the superseded round-3 pick.
     grid = [(1, 3, 10), (1, 5, 10), (1, 2, 10),
             (2, 3, 10), (0, 3, 10), (-1, 3, 10), (1, 3, 0)]
+    if args.presets_only:
+        # shipped `ddim-100-deep` pick (2,3,10), the superseded round-3
+        # pick (1,3,10), and the cheap encoder-mode alternative (0,3,10)
+        grid = [(2, 3, 10), (1, 3, 10), (0, 3, 10)]
     if args.smoke:
         grid = [(1, 3, 2), (0, 3, 2), (-1, 3, 2)]
 
     for mk, mask in masks.items():
-        db, tps, _ = run(base, mask)
-        emit({"cfg": f"ddim-{K_MAIN} exact", "mask": mk,
-              "hole_psnr_db": round(db, 2), "s_per_sample": round(tps, 4)})
-        anchor = db
+        anchor, tps, _ = run(base, mask)
+        emit({"cfg": f"ddim-{K_MAIN} exact", "mask": mk, **anchor,
+              "s_per_sample": round(tps, 4)})
         for branch, period, tail in grid:
             c = dataclasses.replace(base, encoder_cache_period=period,
                                     cache_branch=branch,
                                     encoder_cache_tail=tail)
-            db, tps, _ = run(c, mask)
-            emit({"cfg": f"ddim-{K_MAIN} b={branch} p={period} t={tail}",
-                  "mask": mk, "hole_psnr_db": round(db, 2),
-                  "delta_db": round(db - anchor, 2),
-                  "s_per_sample": round(tps, 4)})
+            m, tps, _ = run(c, mask)
+            emit(add_deltas(
+                {"cfg": f"ddim-{K_MAIN} b={branch} p={period} t={tail}",
+                 "mask": mk, **m, "s_per_sample": round(tps, 4)}, anchor))
 
     # ddim-20-fast preset vs exact DDIM-20
     fast_grid = [
@@ -304,38 +352,41 @@ def main():
     for mk, mask in masks.items():
         anchor = None
         for name, c in fast_grid:
-            db, tps, _ = run(c, mask)
-            row = {"cfg": name, "mask": mk, "hole_psnr_db": round(db, 2),
+            m, tps, _ = run(c, mask)
+            row = {"cfg": name, "mask": mk, **m,
                    "s_per_sample": round(tps, 4)}
             if anchor is None:
-                anchor = db
+                anchor = m
             else:
-                row["delta_db"] = round(db - anchor, 2)
+                add_deltas(row, anchor)
             emit(row)
 
     # refine-tier knee: cheap DDIM-K_FILL fill, then strength-truncated
     # DDIM-K_REF refinement over the composited fill; anchor = exact
     # DDIM-K_REF from noise. evals(s) = round(s * K_REF) + K_FILL.
+    if args.presets_only:
+        print(f"wrote {out_path} (presets-only mode: refine knee skipped)",
+              flush=True)
+        return
+
     fill_cfg = SamplerConfig(method="ddim", num_steps=K_FILL, eta=0.9,
                              injection=True)
     ref_cfg = SamplerConfig(method="ddim", num_steps=K_REF, eta=0.9,
                             injection=True)
     for mk, mask in masks.items():
-        db, tps, _ = run(ref_cfg, mask)
+        anchor, tps, _ = run(ref_cfg, mask)
         emit({"cfg": f"ddim-{K_REF} exact (refine anchor)", "mask": mk,
-              "hole_psnr_db": round(db, 2), "s_per_sample": round(tps, 4)})
-        anchor = db
-        db_f, _, fill = run(fill_cfg, mask)
-        emit({"cfg": f"ddim-{K_FILL} fill", "mask": mk,
-              "hole_psnr_db": round(db_f, 2),
-              "delta_db": round(db_f - anchor, 2)})
+              **anchor, "s_per_sample": round(tps, 4)})
+        m_f, _, fill = run(fill_cfg, mask)
+        emit(add_deltas({"cfg": f"ddim-{K_FILL} fill", "mask": mk, **m_f},
+                        anchor))
         for s in (0.2, 0.3, 0.5):
             c = dataclasses.replace(ref_cfg, strength=s)
-            db, _, _ = run(c, mask, x=fill, rkey=jax.random.PRNGKey(11))
+            m, _, _ = run(c, mask, x=fill, rkey=jax.random.PRNGKey(11))
             evals = int(round(s * K_REF)) + K_FILL
-            emit({"cfg": f"fill-{K_FILL} + refine s={s} (evals={evals})",
-                  "mask": mk, "hole_psnr_db": round(db, 2),
-                  "delta_db": round(db - anchor, 2)})
+            emit(add_deltas(
+                {"cfg": f"fill-{K_FILL} + refine s={s} (evals={evals})",
+                 "mask": mk, **m}, anchor))
 
     print(f"wrote {out_path}", flush=True)
 

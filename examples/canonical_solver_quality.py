@@ -41,7 +41,8 @@ import jax.numpy as jnp
 jax.config.update("jax_compilation_cache_dir", "/tmp/fidm_jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
 
-from canonical_frontier import (brush_bank, make_box_masks, make_synth_face,
+from canonical_frontier import (add_deltas, brush_bank, make_box_masks,
+                                make_quality_fns, make_synth_face,
                                 train_canonical)
 
 
@@ -51,6 +52,11 @@ def main():
     p.add_argument("--steps", type=int, default=6000)
     p.add_argument("--batch", type=int, default=16)
     p.add_argument("--width", type=int, default=64)
+    p.add_argument("--presets_only", action="store_true",
+                   help="re-qualification mode: only the methods behind "
+                        "shipped presets (ddim eta.9, dpm++2m, dpm++2m-sde, "
+                        "unipc) — 4 compiled programs per budget instead "
+                        "of 7")
     p.add_argument("--budgets", type=int, nargs="+", default=[10, 20],
                    help="model-eval budgets K (each (method, K) pair is one "
                         "compiled program — through the tunnel, keep the "
@@ -87,20 +93,12 @@ def main():
         "box": make_box_masks(jax.random.PRNGKey(555), n_eval, S),
         "brush": brush_bank(S, n_eval, seed=123, coverage=(0.25, 0.45)),
     }
-    gt01 = (gt + 1) / 2
     key = jax.random.PRNGKey(7)
-
-    @jax.jit
-    def hole_mse(out, hole):
-        out01 = (jnp.clip(out, -1, 1) + 1) / 2
-        return (((out01 - gt01) ** 2) * hole).sum() / (hole.sum() * 3)
-
-    def hole_psnr(out, hole):
-        return 10 * np.log10(1.0 / float(hole_mse(out, hole)))
+    score = make_quality_fns(gt)
 
     results = {"width": args.width, "steps": steps, "S": S, "rows": []}
     out_path = ("/tmp/canonical_solver_quality_smoke.json" if args.smoke
-                else "/tmp/canonical_solver_quality.json")
+                else f"/tmp/canonical_solver_quality_w{args.width}.json")
 
     def emit(row):
         results["rows"].append(row)
@@ -109,7 +107,7 @@ def main():
         print(json.dumps(row), flush=True)
 
     def methods_at(K):
-        return [
+        rows = [
             (f"ddim-{K} (eta .9)",
              SamplerConfig(method="ddim", num_steps=K, eta=0.9,
                            injection=True)),
@@ -129,21 +127,23 @@ def main():
              SamplerConfig(method="unipc", num_steps=K, injection=True,
                            unipc_corrector=False)),
         ]
+        if args.presets_only:
+            keep = {f"ddim-{K} (eta .9)", f"dpm++2m-{K}",
+                    f"dpm++2m-sde-{K}", f"unipc-{K}"}
+            rows = [r for r in rows if r[0] in keep]
+        return rows
 
     anchor_cfg = SamplerConfig(method="ddim", num_steps=K_ANCHOR, eta=0.9,
                                injection=True)
     for mk, mask in masks.items():
         out = pipe.inpaint(gt, mask, key, sampler=anchor_cfg)
-        anchor = hole_psnr(out, mask)
-        emit({"cfg": f"ddim-{K_ANCHOR} exact (anchor)", "mask": mk,
-              "hole_psnr_db": round(anchor, 2)})
+        anchor = score(out, mask)
+        emit({"cfg": f"ddim-{K_ANCHOR} exact (anchor)", "mask": mk, **anchor})
         for K in budgets:
             for name, c in methods_at(K):
                 out = pipe.inpaint(gt, mask, key, sampler=c)
-                db = hole_psnr(out, mask)
-                emit({"cfg": name, "mask": mk, "evals": K,
-                      "hole_psnr_db": round(db, 2),
-                      "delta_db": round(db - anchor, 2)})
+                emit(add_deltas({"cfg": name, "mask": mk, "evals": K,
+                                 **score(out, mask)}, anchor))
 
     print(f"wrote {out_path}", flush=True)
 

@@ -14,58 +14,115 @@ brush 21.98 dB):
 i.e. the serve default is BETTER than exact DDIM-100 on both mask types
 at 4x fewer evals, and caching composes gracefully (the speed gain is
 modest at 25 steps — fewer steps means fewer cacheable steps).
-Reuses the cached canonical params (/tmp/fidm_canon64.pkl; trains one
-if absent). Results stream to /tmp/sde_cache_probe.json.
+
+Round 5: hole-SSIM + LPIPS-proxy columns added (PSNR alone favors the blur
+caching produces — VERDICT r4 weak #5), plus a --smoke CPU mode and a
+__main__ guard (ADVICE r4: the round-4 version ran the full TPU study at
+import time).
+
+Run (TPU; reuses the cached canonical params /tmp/fidm_canon{width}.pkl,
+TRAINS ONE if absent — ~25 min compile + ~4 min train at width 64):
+    python examples/sde_cache_compose.py
+    python examples/sde_cache_compose.py --smoke   # tiny CPU smoke
+Results stream to /tmp/sde_cache_probe*.json.
 """
-import sys, os, json, dataclasses
+import sys, os
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 sys.path.insert(0, os.path.dirname(__file__) or ".")
-import jax, numpy as np, jax.numpy as jnp
+
+import argparse
+import dataclasses
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+
 jax.config.update("jax_compilation_cache_dir", "/tmp/fidm_jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
-from canonical_frontier import brush_bank, make_box_masks, make_synth_face, train_canonical
-from fidm_tpu.diffusion import DiffusionSchedule
-from fidm_tpu.models import ffhq256_config
-from fidm_tpu.pipeline import InpaintingPipeline, PipelineConfig
-from fidm_tpu.sampling import SamplerConfig
 
-S, T, n_eval = 256, 1000, 16
-cfg = ffhq256_config(image_size=S, model_channels=64)
-sched = DiffusionSchedule.create("quadratic", T)
-model, params = train_canonical(cfg, sched, 6000, 16, "/tmp/fidm_canon64.pkl")
-pipe = InpaintingPipeline(model, {"params": params}, sched,
-                          PipelineConfig(unet=cfg, schedule="quadratic", num_timesteps=T))
-synth = make_synth_face(S)
-gt = jax.vmap(synth)(jax.random.split(jax.random.PRNGKey(999), n_eval))
-masks = {"box": make_box_masks(jax.random.PRNGKey(555), n_eval, S),
-         "brush": brush_bank(S, n_eval, seed=123, coverage=(0.25, 0.45))}
-gt01 = (gt + 1) / 2
-key = jax.random.PRNGKey(7)
+from canonical_frontier import (add_deltas, brush_bank, make_box_masks,
+                                make_quality_fns, make_synth_face,
+                                train_canonical)
 
-@jax.jit
-def hole_mse(out, hole):
-    out01 = (jnp.clip(out, -1, 1) + 1) / 2
-    return (((out01 - gt01) ** 2) * hole).sum() / (hole.sum() * 3)
 
-import time
-rows = []
-base = SamplerConfig(method="dpm++2m-sde", num_steps=25, injection=True)
-for name, c in [
-    ("sde-25 exact", base),
-    ("sde-25 b=2 p=3 t=10", dataclasses.replace(base, encoder_cache_period=3, cache_branch=2, encoder_cache_tail=10)),
-    ("sde-25 b=1 p=2 t=4", dataclasses.replace(base, encoder_cache_period=2, cache_branch=1, encoder_cache_tail=4)),
-]:
-    for mk, mask in masks.items():
-        out = pipe.inpaint(gt, mask, key, sampler=c)
-        float(jnp.sum(out[0, :2, :2]))
-        t0 = time.perf_counter()
-        out = pipe.inpaint(gt, mask, key, sampler=c)
-        float(jnp.sum(out[0, :2, :2]))
-        dt = (time.perf_counter() - t0) / n_eval
-        db = 10 * np.log10(1.0 / float(hole_mse(out, mask)))
-        row = {"cfg": name, "mask": mk, "hole_psnr_db": round(db, 2),
-               "s_per_sample_w64": round(dt, 4)}
-        rows.append(row)
-        print(json.dumps(row), flush=True)
-        with open("/tmp/sde_cache_probe.json", "w") as f:
-            json.dump(rows, f, indent=1)
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--smoke", action="store_true")
+    p.add_argument("--steps", type=int, default=6000)
+    p.add_argument("--batch", type=int, default=16)
+    p.add_argument("--width", type=int, default=64)
+    args = p.parse_args()
+
+    if args.smoke:
+        jax.config.update("jax_platforms", "cpu")
+
+    from fidm_tpu.diffusion import DiffusionSchedule
+    from fidm_tpu.models import ffhq256_config
+    from fidm_tpu.pipeline import InpaintingPipeline, PipelineConfig
+    from fidm_tpu.sampling import SamplerConfig
+
+    if args.smoke:
+        S, T, steps, batch, n_eval, K = 64, 50, 3, 2, 2, 6
+        cache_path = None
+    else:
+        S, T, steps, batch, n_eval, K = 256, 1000, args.steps, args.batch, 16, 25
+        cache_path = f"/tmp/fidm_canon{args.width}.pkl"
+        if not (cache_path and os.path.exists(cache_path)):
+            print(f"WARNING: {cache_path} absent — training a canonical "
+                  "model first (~25 min cold compile + ~4 min train at "
+                  "width 64 on the TPU)", flush=True)
+
+    cfg = ffhq256_config(image_size=S, model_channels=args.width)
+    sched = DiffusionSchedule.create("quadratic", T)
+    model, params = train_canonical(cfg, sched, steps, batch, cache_path)
+    pipe = InpaintingPipeline(
+        model, {"params": params}, sched,
+        PipelineConfig(unet=cfg, schedule="quadratic", num_timesteps=T))
+
+    synth = make_synth_face(S)
+    gt = jax.vmap(synth)(jax.random.split(jax.random.PRNGKey(999), n_eval))
+    masks = {"box": make_box_masks(jax.random.PRNGKey(555), n_eval, S),
+             "brush": brush_bank(S, n_eval, seed=123, coverage=(0.25, 0.45))}
+    key = jax.random.PRNGKey(7)
+    score = make_quality_fns(gt)
+
+    out_path = ("/tmp/sde_cache_probe_smoke.json" if args.smoke
+                else f"/tmp/sde_cache_probe_w{args.width}.json")
+    rows = []
+    base = SamplerConfig(method="dpm++2m-sde", num_steps=K, injection=True)
+    tail = 2 if args.smoke else 10
+    tail_b1 = 2 if args.smoke else 4
+    configs = [
+        (f"sde-{K} exact", base),
+        (f"sde-{K} b=2 p=3 t={tail}",
+         dataclasses.replace(base, encoder_cache_period=3, cache_branch=2,
+                             encoder_cache_tail=tail)),
+        (f"sde-{K} b=1 p=2 t={tail_b1}",
+         dataclasses.replace(base, encoder_cache_period=2, cache_branch=1,
+                             encoder_cache_tail=tail_b1)),
+    ]
+    anchors = {}
+    for name, c in configs:
+        for mk, mask in masks.items():
+            out = pipe.inpaint(gt, mask, key, sampler=c)
+            float(jnp.sum(out[0, :2, :2]))
+            t0 = time.perf_counter()
+            out = pipe.inpaint(gt, mask, key, sampler=c)
+            float(jnp.sum(out[0, :2, :2]))
+            dt = (time.perf_counter() - t0) / n_eval
+            row = {"cfg": name, "mask": mk, **score(out, mask),
+                   "s_per_sample": round(dt, 4)}
+            if mk not in anchors:
+                anchors[mk] = row  # first config (exact) anchors each mask
+            else:
+                add_deltas(row, anchors[mk])
+            rows.append(row)
+            print(json.dumps(row), flush=True)
+            with open(out_path, "w") as f:
+                json.dump(rows, f, indent=1)
+    print(f"wrote {out_path}", flush=True)
+
+
+if __name__ == "__main__":
+    main()
