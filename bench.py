@@ -182,13 +182,14 @@ def main():
         result["encoder_cache_tail"] = cache_tail
         if cache_branch:
             result["cache_branch"] = cache_branch
-            # measured quality cost at CANONICAL depth (6-level model,
-            # examples/canonical_frontier.py; box-mask delta, brush in
-            # BENCH.md "Feature-reuse caching (canonical depth)")
+            # measured quality cost at PRODUCTION WIDTH 128 + canonical
+            # depth (the architecture this benchmark times; box-mask
+            # delta, brush + SSIM/LPIPS columns in BENCH.md "Width-128
+            # requalification" — round-5 --width 128 frontier run)
             if (enc_cache, cache_branch, cache_tail) == (3, 2, 10):
-                result["hole_psnr_delta_db_canonical"] = -0.28
+                result["hole_psnr_delta_db_canonical"] = -0.93
             elif (enc_cache, cache_branch) == (3, 1):
-                result["hole_psnr_delta_db_canonical"] = -2.32
+                result["hole_psnr_delta_db_canonical"] = -5.40
 
     # Emit the headline line NOW — the driver tail-parses the last printed
     # line, and any extra leg below may cost a second cold compile.

@@ -341,10 +341,10 @@ def main():
         (f"ddim-{K_FAST} exact",
          SamplerConfig(method="ddim", num_steps=K_FAST, eta=0.9,
                        injection=True)),
-        (f"ddim-{K_FAST} b=0 p=2 (ddim-20-fast)",
+        (f"ddim-{K_FAST} b=0 p=2 (rejected encoder mode)",
          SamplerConfig(method="ddim", num_steps=K_FAST, eta=0.9,
                        injection=True, encoder_cache_period=2)),
-        (f"ddim-{K_FAST} b=1 p=2 t=4",
+        (f"ddim-{K_FAST} b=1 p=2 t=4 (ddim-20-fast)",
          SamplerConfig(method="ddim", num_steps=K_FAST, eta=0.9,
                        injection=True, encoder_cache_period=2,
                        cache_branch=1, encoder_cache_tail=4)),

@@ -46,19 +46,25 @@ SAMPLER_PRESETS = {
     "ddim-100": SamplerConfig(method="ddim", num_steps=100, eta=0.9,
                               injection=True),
     # quality-qualified fast flagship, RE-KEYED at canonical depth (round-4
-    # 6-level study, examples/canonical_frontier.py): branch 2 / period 3 /
-    # tail 10 costs only -0.28 dB (box) / -0.39 dB (brush) hole-PSNR vs
-    # exact DDIM-100 on the trained 6-level model. The 3-level toy's
-    # frontier (branch 1, -0.85 dB) does NOT transfer: at true depth
-    # branch 1 measures -1.9 to -2.3 dB, and encoder-mode caching (b=0)
-    # collapses by -5.8 to -6.5 dB. Measured table in BENCH.md
-    # "Feature-reuse caching (canonical depth)".
+    # 6-level study) and RE-QUALIFIED AT PRODUCTION WIDTH 128 (round-5,
+    # examples/canonical_frontier.py --width 128 --presets_only): branch 2
+    # / period 3 / tail 10 costs -0.93 dB (box) / -0.48 dB (brush)
+    # hole-PSNR vs exact DDIM-100 on the trained width-128 6-level model,
+    # with hole-SSIM AT OR ABOVE exact (0.9014 vs 0.8598 box) and
+    # LPIPS-proxy unchanged — the PSNR delta is averaging, not perceptual
+    # damage. Alternatives stay dominated at width 128: branch 1 -5.40/
+    # -2.89 dB, encoder mode -9.97/-9.62 dB. (Width-64 numbers: -0.28/
+    # -0.39; the ordering is width-stable, the magnitude is not.)
+    # Measured tables in BENCH.md "Width-128 requalification".
     "ddim-100-deep": SamplerConfig(method="ddim", num_steps=100, eta=0.9,
                                    injection=True, encoder_cache_period=3,
                                    cache_branch=2, encoder_cache_tail=10),
     # speed-first variant: branch 1, no exact tail (the tail buys no
-    # quality at canonical depth — t=10 and t=0 measured identical) —
-    # 1.40x exact at -1.9 to -2.3 dB hole-PSNR. For previews and drafts.
+    # quality at canonical depth — t=10 and t=0 measured identical at
+    # width 64) — 1.40x exact. Width-128 requalification: branch 1 costs
+    # -5.40 dB (box) / -2.89 dB (brush) at t=10, MUCH steeper than the
+    # width-64 -1.9 to -2.3 dB — strictly a draft/preview tier on the
+    # production model; prefer ddim-100-deep for anything user-facing.
     "ddim-100-turbo": SamplerConfig(method="ddim", num_steps=100, eta=0.9,
                                     injection=True, encoder_cache_period=3,
                                     cache_branch=1),
@@ -68,7 +74,11 @@ SAMPLER_PRESETS = {
     # DDIM-20), plus deep-trunk reuse — RE-KEYED at canonical depth: the
     # old encoder-mode cache (b=0 p=2) measured -4.9 to -5.2 dB and was
     # SLOWER than branch 1; b=1 p=2 tail=4 is 1.19x exact at -1.3 dB
-    # (examples/canonical_frontier.py)
+    # (examples/canonical_frontier.py). Width-128 requalification: the
+    # pick holds (encoder mode collapses to -9.0/-9.4 dB and stays
+    # slower; b=1 p=2 t=4 is 1.25x exact) but costs -3.43/-2.41 dB there
+    # — at 20 steps prefer the uncached exact DDIM-20 (-0.68/-0.12 vs
+    # DDIM-100!) unless the last 25% of speed matters.
     "ddim-20-fast": SamplerConfig(method="ddim", num_steps=20, eta=0.9,
                                   injection=True, encoder_cache_period=2,
                                   cache_branch=1, encoder_cache_tail=4),
@@ -79,7 +89,11 @@ SAMPLER_PRESETS = {
     "dpm-20": SamplerConfig(method="dpm++2m", num_steps=20, injection=True),
     # stochastic variant (diffusers' sde-dpmsolver++): 2nd-order accuracy
     # with DDIM-eta=1-style fresh noise each step — the analogue of the
-    # reference's preferred eta=0.9 sampling for inpainting harmonization
+    # reference's preferred eta=0.9 sampling for inpainting harmonization.
+    # The serve default: at CANONICAL depth it beats exact DDIM-100 at 4x
+    # fewer evals on both mask protocols — width 64: +0.27/+1.18 dB;
+    # width 128 (round-5 requalification): +1.34/+1.02 dB with the best
+    # LPIPS-proxy in the study (examples/canonical_solver_quality.py).
     "dpm-25-sde": SamplerConfig(method="dpm++2m-sde", num_steps=25,
                                 injection=True),
     # deep-trunk (b=1) like ddim-20-fast: encoder-mode caching collapses
