@@ -239,13 +239,24 @@ class DataLoader:
 
     def __init__(self, dataset, batch_size: int, shuffle: bool = False,
                  drop_last: bool = False, seed: int = 0,
-                 subset: Optional[Sequence[int]] = None):
+                 subset: Optional[Sequence[int]] = None,
+                 process_local: bool = False):
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
         self.drop_last = drop_last
         self.seed = seed
         self.epoch = 0
+        # process_local=True (multi-host training; training.loop.fit flips
+        # it automatically under jax.process_count() > 1): every process
+        # computes the SAME global epoch order (seed+epoch), then yields
+        # only its per-batch slice of it — batch_size stays the GLOBAL
+        # batch size, each host emits batch_size/process_count rows per
+        # step, and parallel.multihost.global_batch reassembles global
+        # batches with exactly the single-process composition and order
+        # (the loss-parity property, tests/test_multihost_train.py).
+        # Implies drop_last across a ragged tail. Single-process: no-op.
+        self.process_local = process_local
         self.indices = np.asarray(
             subset if subset is not None else np.arange(len(dataset))
         )
@@ -259,9 +270,19 @@ class DataLoader:
         if self.shuffle:
             np.random.default_rng(self.seed + self.epoch).shuffle(idx)
         self.epoch += 1
-        for start in range(0, len(idx), self.batch_size):
-            chunk = idx[start : start + self.batch_size]
-            if self.drop_last and len(chunk) < self.batch_size:
+        step = self.batch_size
+        if self.process_local:
+            import jax
+
+            if jax.process_count() > 1:
+                from ..parallel.multihost import host_local_slice
+
+                idx = host_local_slice(idx, self.batch_size)
+                step = self.batch_size // jax.process_count()
+        for start in range(0, len(idx), step):
+            chunk = idx[start : start + step]
+            if (self.drop_last or step != self.batch_size) and \
+                    len(chunk) < step:
                 break
             items = [self.dataset[int(i)] for i in chunk]
             batch = {}

@@ -16,7 +16,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding
 
 __all__ = ["initialize", "launched_by_env", "host_local_slice",
-           "global_batch"]
+           "global_batch", "is_primary", "barrier"]
 
 # environment markers set by the standard multi-host launchers (TPU pod
 # runtime, GKE/JobSet) that jax.distributed.initialize() can auto-configure
@@ -77,12 +77,53 @@ def initialize(coordinator_address: Optional[str] = None,
     return False
 
 
-def host_local_slice(global_index: np.ndarray) -> np.ndarray:
-    """This process's contiguous slice of a global example-index array."""
+def host_local_slice(global_index: np.ndarray,
+                     global_batch_size: Optional[int] = None) -> np.ndarray:
+    """This process's slice of a global example-index array.
+
+    Without `global_batch_size`: the contiguous 1/process_count slice
+    (dataset partitioning, order across batches irrelevant).
+
+    With `global_batch_size` B: the PER-BATCH slice — the order is viewed
+    as consecutive global batches of B and this process takes rows
+    [i*B/n, (i+1)*B/n) of each. Assembled with `global_batch` over a mesh
+    whose data-axis device order follows process index (the
+    `jax.devices()` default), every global batch then has EXACTLY the
+    composition and row order a single-process run would produce — the
+    property the multi-process loss-parity test anchors
+    (tests/test_multihost_train.py). A ragged tail short of a full global
+    batch is dropped (multi-process feeding implies drop_last)."""
     n = jax.process_count()
     i = jax.process_index()
-    per = len(global_index) // n
-    return global_index[i * per : (i + 1) * per]
+    if global_batch_size is None:
+        per = len(global_index) // n
+        return global_index[i * per : (i + 1) * per]
+    B = int(global_batch_size)
+    if B % n:
+        raise ValueError(
+            f"global batch size {B} must divide by process count {n}")
+    local = B // n
+    nb = len(global_index) // B
+    arr = np.asarray(global_index)[: nb * B].reshape(nb, B)
+    return arr[:, i * local : (i + 1) * local].reshape(-1)
+
+
+def is_primary() -> bool:
+    """True on the process that owns singleton host-side effects
+    (checkpoint directory surgery, metadata/marker writes, logging)."""
+    return jax.process_index() == 0
+
+
+def barrier(tag: str) -> None:
+    """Cross-process sync point; single-process no-op.
+
+    Used around checkpoint-directory mutations so no process reads or
+    writes a path while the primary renames it (training/checkpoint.py's
+    crash-safe overwrite protocol)."""
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        multihost_utils.sync_global_devices(tag)
 
 
 def global_batch(local_arrays, mesh: Mesh, sharding: NamedSharding):

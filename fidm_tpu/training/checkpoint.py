@@ -20,6 +20,8 @@ from typing import Optional
 
 import orbax.checkpoint as ocp
 
+from ..parallel.multihost import barrier, is_primary
+
 __all__ = ["CheckpointManager"]
 
 
@@ -43,7 +45,16 @@ class CheckpointManager:
         self.directory = os.path.abspath(directory)
         self._steps_root = os.path.join(self.directory, "steps")
         os.makedirs(self.directory, exist_ok=True)
-        self._recover_interrupted_overwrite()
+        # MULTI-PROCESS CONTRACT (all processes share `directory`, e.g. a
+        # pod writing to common storage): every process calls save/restore/
+        # wait/close COLLECTIVELY — Orbax coordinates the sharded array
+        # writes itself — but the custom protocol around it (overwrite
+        # backups, best dir, markers) mutates paths with plain renames, so
+        # those run on the PRIMARY process only, fenced by barriers so no
+        # process touches a path mid-rename.
+        if is_primary():
+            self._recover_interrupted_overwrite()
+        barrier("fidm-ckpt-init")
         self.async_save = async_save
         self._pending_cleanup = False
         self._mgr = ocp.CheckpointManager(
@@ -91,14 +102,17 @@ class CheckpointManager:
         shutil.rmtree(root, ignore_errors=True)
 
     def _begin_overwrite(self, step: int):
-        src = os.path.join(self._steps_root, str(step))
-        if not os.path.isdir(src):  # unexpected layout; last-resort delete
-            self._mgr.delete(step)
-            return
-        root = self._backup_root()
-        shutil.rmtree(root, ignore_errors=True)
-        os.makedirs(root)
-        os.rename(src, os.path.join(root, str(step)))
+        # primary renames; everyone waits, then re-reads the step listing
+        if is_primary():
+            src = os.path.join(self._steps_root, str(step))
+            if os.path.isdir(src):
+                root = self._backup_root()
+                shutil.rmtree(root, ignore_errors=True)
+                os.makedirs(root)
+                os.rename(src, os.path.join(root, str(step)))
+            else:  # unexpected layout; last-resort delete
+                self._mgr.delete(step)
+        barrier("fidm-ckpt-overwrite")
         self._mgr.reload()
 
     # -- save ---------------------------------------------------------------
@@ -131,22 +145,29 @@ class CheckpointManager:
             self._pending_cleanup = True
         else:
             self._mgr.wait_until_finished()
-            shutil.rmtree(self._backup_root(), ignore_errors=True)
+            if is_primary():
+                shutil.rmtree(self._backup_root(), ignore_errors=True)
 
+        # val_loss is identical on every process (the sharded eval reduces
+        # globally), so is_best agrees everywhere and the collective
+        # best-save below is entered by all processes together
         is_best = val_loss is not None and val_loss < self.best_val_loss
         if is_best:
             self.best_val_loss = float(val_loss)
             best_dir = os.path.join(self.directory, "best")
-            if os.path.exists(best_dir):
+            if is_primary() and os.path.exists(best_dir):
                 shutil.rmtree(best_dir)
+            barrier("fidm-ckpt-best")
             self._best.save(best_dir, state)
             self._best.wait_until_finished()
-            with open(self._marker_path(), "w") as f:
-                # carry the FULL metadata, not just the marker fields: the
-                # rotating step that holds it can be pruned, and consumers
-                # (cli.evaluate's mean_type resolution) prefer "best"
-                json.dump({**meta, "val_loss": self.best_val_loss,
-                           "step": step}, f)
+            if is_primary():
+                with open(self._marker_path(), "w") as f:
+                    # carry the FULL metadata, not just the marker fields:
+                    # the rotating step that holds it can be pruned, and
+                    # consumers (cli.evaluate's mean_type resolution)
+                    # prefer "best"
+                    json.dump({**meta, "val_loss": self.best_val_loss,
+                               "step": step}, f)
         return is_best
 
     # -- restore -------------------------------------------------------------
@@ -240,7 +261,8 @@ class CheckpointManager:
         finish the deferred overwrite-backup cleanup. No-op when idle."""
         self._mgr.wait_until_finished()
         if self._pending_cleanup:
-            shutil.rmtree(self._backup_root(), ignore_errors=True)
+            if is_primary():
+                shutil.rmtree(self._backup_root(), ignore_errors=True)
             self._pending_cleanup = False
 
     def close(self):
