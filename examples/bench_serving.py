@@ -122,6 +122,12 @@ def main():
     p.add_argument("--timeout_ms", type=float, default=None,
                    help="per-request deadline for --overload (default: "
                         "8x the single-request warm latency)")
+    p.add_argument("--output_dtype", choices=["float32", "uint8"],
+                   default="float32",
+                   help="response image dtype for every tier: uint8 "
+                        "quantizes on device (reference toU8) — the "
+                        "device->host result transfer and the HTTP "
+                        "payload shrink 4x")
     p.add_argument("--instrument", action="store_true",
                    help="fence + time every dispatcher phase (assemble/"
                         "upload/dispatch/execute/download) — serializes "
@@ -155,6 +161,15 @@ def main():
     else:
         sampler = SamplerConfig(method=args.method, num_steps=args.steps,
                                 eta=0.9, injection=True)
+    if args.output_dtype != "float32":
+        import dataclasses
+
+        sampler = dataclasses.replace(sampler,
+                                      output_dtype=args.output_dtype)
+        if presets is not None:
+            presets = {n: dataclasses.replace(c,
+                                              output_dtype=args.output_dtype)
+                       for n, c in presets.items()}
     if args.tiny:
         import jax.numpy as jnp
 
