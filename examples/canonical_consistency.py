@@ -113,18 +113,22 @@ def main():
             ema_decay=0.95)
 
         # fuse data generation into the step (batches never cross the
-        # tunnel); fold the loop index into the data AND noise keys
+        # tunnel); fold the loop index into the data AND noise keys.
+        # teacher MUST be an argument, not a closure capture: captured
+        # params trace as CONSTANTS and the 374 MB (width-128) constant
+        # blob overflows the remote-compile tunnel's request-body limit
+        # (HTTP 413 — a real failure this script hit)
         @jax.jit
-        def gen_and_cd(state, key):
+        def gen_and_cd(state, teacher_params, key):
             i = state.step
             b = make_batch(jax.random.fold_in(key, 90_000 + i), batch)
-            return cd_step(state, teacher, b,
+            return cd_step(state, teacher_params, b,
                            jax.random.fold_in(key, 50_000 + i))
 
         key = jax.random.PRNGKey(11)
         t0 = time.time()
         for i in range(cd_steps):
-            cd_state, cm = gen_and_cd(cd_state, key)
+            cd_state, cm = gen_and_cd(cd_state, teacher, key)
             if i % 500 == 0 or i == cd_steps - 1:
                 print(f"cd step {i}: loss={float(cm['loss']):.5f} "
                       f"({time.time()-t0:.0f}s)", flush=True)
