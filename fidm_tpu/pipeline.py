@@ -118,7 +118,11 @@ SAMPLER_PRESETS = {
     # `cli.distill --mode consistency`): 1-2 model evaluations per sample —
     # the measured 16x step cut of examples/toy_consistency.py. Only
     # meaningful with consistency-student weights (velocity-parameterized
-    # by default).
+    # by default). Canonical-depth + production-width quality (round-5,
+    # examples/canonical_consistency.py): the student beats naive
+    # matched-eval DDIM by +5.4-5.7 dB at 1 eval but sits -7.0/-9.5 dB
+    # under exact DDIM-100 — a PREVIEW tier, not a final one (final:
+    # dpm-25-sde, which measures ABOVE the DDIM-100 anchor).
     "consistency-2": SamplerConfig(method="consistency", num_steps=2,
                                    injection=True,
                                    mean_type=ModelMeanType.VELOCITY),
