@@ -130,6 +130,16 @@ def main(argv=None):
     )
 
     args = parse_args(argv)
+    # Multi-host pod launch: connect the processes BEFORE the first
+    # backend touch so the mesh below spans all global devices. No-op in
+    # a plain shell (launcher-env detection, parallel/multihost.py);
+    # fit() then flips the loaders' process_local slicing and the
+    # CheckpointManager runs its directory surgery primary-only.
+    from ..parallel import multihost
+
+    if multihost.initialize():
+        print(f"multihost: process {jax.process_index()}/"
+              f"{jax.process_count()} connected")
     if args.mask_dir is None and args.mask_mode != "procedural":
         print("no --mask_dir: switching to procedural mask generation")
         args.mask_mode = "procedural"

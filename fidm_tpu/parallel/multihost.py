@@ -24,7 +24,6 @@ __all__ = ["initialize", "launched_by_env", "host_local_slice",
 _LAUNCHER_ENV_VARS = (
     "COORDINATOR_ADDRESS",
     "JAX_COORDINATOR_ADDRESS",
-    "TPU_WORKER_HOSTNAMES",
     "MEGASCALE_COORDINATOR_ADDRESS",
 )
 # launchers that also need evidence of MORE THAN ONE task: a bare
@@ -37,8 +36,17 @@ _LAUNCHER_SIZE_VARS = ("SLURM_STEP_NUM_TASKS", "SLURM_NTASKS",
 def launched_by_env() -> bool:
     """True when a recognized MULTI-process launcher environment is present.
 
-    Single-process environments (plain shells, salloc with one task) must
-    return False so `initialize()` stays a no-op there."""
+    Single-process environments (plain shells, salloc with one task,
+    single-worker TPU VMs) must return False so `initialize()` stays a
+    no-op there. TPU_WORKER_HOSTNAMES in particular is set even on
+    SINGLE-host TPU runtimes (this axon host exports
+    `TPU_WORKER_HOSTNAMES=localhost`) — only a multi-entry list is pod
+    evidence; presence alone once made every auto-detecting caller crash
+    in jax.distributed.initialize (a real bug the cli.train wiring
+    exposed)."""
+    hosts = os.environ.get("TPU_WORKER_HOSTNAMES", "")
+    if len([h for h in hosts.split(",") if h.strip()]) > 1:
+        return True
     if any(v in os.environ for v in _LAUNCHER_ENV_VARS):
         return True
     for v in _LAUNCHER_SIZE_VARS:

@@ -75,7 +75,8 @@ def test_graft_dryrun_multichip():
 def test_multihost_initialize_single_process_noop(monkeypatch):
     from fidm_tpu.parallel import multihost
 
-    for v in (multihost._LAUNCHER_ENV_VARS + multihost._LAUNCHER_SIZE_VARS):
+    for v in (multihost._LAUNCHER_ENV_VARS + multihost._LAUNCHER_SIZE_VARS
+              + ("TPU_WORKER_HOSTNAMES",)):
         monkeypatch.delenv(v, raising=False)
     assert multihost.initialize() is False
     assert multihost.initialize(num_processes=1) is False
@@ -86,11 +87,21 @@ def test_multihost_launcher_env_detection(monkeypatch):
     from fidm_tpu.parallel import multihost
 
     for v in (multihost._LAUNCHER_ENV_VARS + multihost._LAUNCHER_SIZE_VARS
-              + ("SLURM_JOB_ID",)):
+              + ("SLURM_JOB_ID", "TPU_WORKER_HOSTNAMES")):
         monkeypatch.delenv(v, raising=False)
     # a bare SLURM_JOB_ID (salloc shell, single task) must NOT trigger
     # distributed init — jax cluster detection would crash or hang there
     monkeypatch.setenv("SLURM_JOB_ID", "12345")
+    assert multihost.launched_by_env() is False
+    # single-worker TPU runtimes export TPU_WORKER_HOSTNAMES=localhost
+    # (this very host does): presence alone is NOT pod evidence — jax's
+    # auto-detect then dies on a missing coordinator address (real bug,
+    # caught when cli.train started auto-initializing)
+    monkeypatch.setenv("TPU_WORKER_HOSTNAMES", "localhost")
+    assert multihost.launched_by_env() is False
+    monkeypatch.setenv("TPU_WORKER_HOSTNAMES", "host0,host1")
+    assert multihost.launched_by_env() is True
+    monkeypatch.delenv("TPU_WORKER_HOSTNAMES")
     assert multihost.launched_by_env() is False
     # multi-task evidence does
     monkeypatch.setenv("SLURM_NTASKS", "4")
