@@ -68,6 +68,19 @@ def parse_args(argv=None):
                         "cost (docs/TUNING.md 3b; clients select it with "
                         "preset='refine' and send their composite as "
                         "'image')")
+    p.add_argument("--timesteps", type=int, nargs="+", default=None,
+                   help="explicit descending timestep grid for the DEFAULT "
+                        "preset — how a progressive-distillation student "
+                        "serves on ITS training grid (cli.distill writes "
+                        "it to student_K/grid.json; pair with "
+                        "--mean_type velocity). Overrides the preset's "
+                        "num_steps; requires a ddim/ddpm/dpm default "
+                        "preset.")
+    p.add_argument("--mean_type", default=None,
+                   choices=["epsilon", "xstart", "velocity", "xprev"],
+                   help="model output parameterization override for every "
+                        "preset (distilled students are velocity; default: "
+                        "each preset's own)")
     p.add_argument("--output_dtype", choices=["float32", "uint8"],
                    default="float32",
                    help="response image dtype, applied to every preset. "
@@ -115,6 +128,24 @@ def build_presets(args):
                 f"--refine_tier needs a ddim/ddpm/dpm default preset, not "
                 f"{base.method!r}")
         presets["refine"] = dataclasses.replace(base, strength=s)
+    if getattr(args, "timesteps", None):
+        # serve a distilled student on ITS training grid (cli.distill's
+        # student_K/grid.json) — the explicit grid replaces the default
+        # preset's num_steps
+        default = presets[names[0]]
+        if default.method not in ("ddim", "ddpm", "dpm++2m", "dpm++2m-sde",
+                                  "dpm++3m", "unipc"):
+            raise SystemExit(
+                f"--timesteps needs a ddim/ddpm/dpm/unipc default preset, "
+                f"not {default.method!r}")
+        presets[names[0]] = dataclasses.replace(
+            default, timesteps=tuple(args.timesteps), num_steps=None)
+    if getattr(args, "mean_type", None):
+        from ..diffusion import ModelMeanType
+
+        mt = ModelMeanType.from_name(args.mean_type)
+        presets = {n: dataclasses.replace(c, mean_type=mt)
+                   for n, c in presets.items()}
     if getattr(args, "output_dtype", "float32") != "float32":
         presets = {n: dataclasses.replace(c, output_dtype=args.output_dtype)
                    for n, c in presets.items()}

@@ -352,6 +352,32 @@ def test_serve_cli_build_presets_refine_tier():
         build_presets(parse_args(["--preset", "nope"]))
 
 
+def test_serve_cli_build_presets_student_grid_and_dtype():
+    """Serving a distilled student: --timesteps puts the DEFAULT preset on
+    the student's training grid, --mean_type velocity re-parameterizes
+    every preset, --output_dtype uint8 applies everywhere."""
+    import pytest
+
+    from fidm_tpu.cli.serve import build_presets, parse_args
+    from fidm_tpu.diffusion import ModelMeanType
+
+    presets = build_presets(parse_args(
+        ["--preset", "ddim-100", "--timesteps", "937", "812", "687", "562",
+         "437", "312", "187", "62", "--mean_type", "velocity",
+         "--output_dtype", "uint8"]))
+    cfg = presets["ddim-100"]
+    assert cfg.timesteps == (937, 812, 687, 562, 437, 312, 187, 62)
+    assert cfg.num_steps is None
+    assert cfg.mean_type is ModelMeanType.VELOCITY
+    assert cfg.output_dtype == "uint8"
+    with pytest.raises(SystemExit, match="timesteps"):
+        build_presets(parse_args(["--preset", "repaint-100-light",
+                                  "--timesteps", "50", "25"]))
+    # default path untouched
+    plain = build_presets(parse_args([]))["dpm-25-sde"]
+    assert plain.output_dtype == "float32" and plain.timesteps is None
+
+
 def test_fid_stats_cli_and_evaluate_consumes_them(data_tree, tmp_path):
     """Precompute reference FID stats once (cli.fid_stats), then score an
     eval run against them — the pytorch-fid --save-stats workflow."""
