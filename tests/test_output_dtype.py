@@ -145,3 +145,22 @@ def test_http_uint8_response(pipeline):
     finally:
         httpd.shutdown()
         dispatcher.close()
+
+
+def test_server_student_grid_velocity_preset_round_trip(pipeline):
+    """The cli.serve student path end-to-end: a preset with an explicit
+    timestep grid + velocity parameterization (what a progressive-
+    distillation student serves with) dispatches and resolves."""
+    from fidm_tpu.diffusion import ModelMeanType
+
+    cfg = dataclasses.replace(
+        TINY.sampler, num_steps=None, timesteps=(40, 25, 10),
+        mean_type=ModelMeanType.VELOCITY, output_dtype="uint8")
+    server = InpaintingServer(pipeline, batch_size=2, max_wait_ms=5.0,
+                              presets={"pd": cfg})
+    try:
+        gt, mask = _sample_batch(n=1)
+        res = server.submit(gt[0], mask[0], seed=3).result(timeout=300)
+        assert res.dtype == np.uint8 and res.shape == (S, S, 3)
+    finally:
+        server.close()
